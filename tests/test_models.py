@@ -1,0 +1,147 @@
+"""Model family: shapes, parameter parity with the reference, RNG wiring.
+
+Parameter counts below were measured by instantiating the torch reference
+models (utilities/UAPS_unet.py) and summing p.numel():
+  UNet(3, 4)       -> 1,814,052
+  UNet_UAPS(3, 4)  -> 3,713,952  (encoder 1,180,752 + 4 x decoder 633,300)
+An exact match pins every layer's fan-in/fan-out, including the reference's
+default-argument trap where Decoder builds UpBlock with bilinear=True
+despite params['bilinear']=False (see models/unet.py UpBlock docstring).
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from uaps_tpu.models import net_factory, MODEL_REGISTRY
+from uaps_tpu.models.unet import upsample2x_align_corners
+
+
+def _init(model, x, train=True):
+    return model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1),
+         "perturb": jax.random.key(2)},
+        x, train=train,
+    )
+
+
+def _apply(model, variables, x, train=True):
+    return model.apply(
+        variables, x, train=train,
+        rngs={"dropout": jax.random.key(3), "perturb": jax.random.key(4)},
+        mutable=["batch_stats"] if train else False,
+    )
+
+
+def _n_params(variables):
+    return sum(p.size for p in jax.tree.leaves(variables["params"]))
+
+
+X = jnp.zeros((2, 32, 32, 3), jnp.float32)
+
+
+class TestParamParity:
+    def test_unet_matches_reference_count(self):
+        v = _init(net_factory("unet", class_num=4), X)
+        assert _n_params(v) == 1_814_052
+
+    def test_unet_uaps_matches_reference_count(self):
+        v = _init(net_factory("unet_uaps", class_num=4), X)
+        assert _n_params(v) == 3_713_952
+
+
+class TestForwardShapes:
+    @pytest.mark.parametrize("name,n_out", [
+        ("unet", 1), ("unet_uaps", 4), ("unet_cct", 4),
+        ("unet_ucc", 2), ("unet_ccps", 2),
+    ])
+    def test_output_tuple(self, name, n_out):
+        m = net_factory(name, class_num=4)
+        v = _init(m, X)
+        out, _ = _apply(m, v, X)
+        if n_out == 1:
+            assert out.shape == (2, 32, 32, 4)
+        else:
+            assert len(out) == n_out
+            for o in out:
+                assert o.shape == (2, 32, 32, 4)
+
+    @pytest.mark.parametrize("name", ["unet_f", "unet_g", "unet_h"])
+    def test_deep_supervision_outputs(self, name):
+        m = net_factory(name, class_num=4)
+        v = _init(m, X)
+        out, _ = _apply(m, v, X)
+        for k in ["dp0", "dp1", "dp2", "dp3"]:
+            assert out[k].shape == (2, 32, 32, 4), k
+        assert out["bottleneck"].shape == (2, 2, 2, 256)
+        assert out["f4"].shape == (2, 32, 32, 16)
+
+    def test_channel_class_configs(self):
+        # DAGM: 1-channel 7-class; KoSDD2: rectangular 2-class
+        m = net_factory("unet_uaps", in_chns=1, class_num=7)
+        x1 = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        out, _ = _apply(m, _init(m, x1), x1)
+        assert out[0].shape == (1, 32, 32, 7)
+        m = net_factory("unet", class_num=2)
+        x2 = jnp.zeros((1, 64, 32, 3), jnp.float32)
+        out, _ = _apply(m, _init(m, x2), x2)
+        assert out.shape == (1, 64, 32, 2)
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError):
+            net_factory("unet_bogus")
+
+    def test_registry_covers_reference_factories(self):
+        # union of utilities/UAPS_net_factory.py, m_net_factory.py,
+        # CCT/net_factory.py, UCC/UCC_net_factory.py + the DAGM 'unet_ccps'
+        for name in ["unet", "unet_uaps", "unet_cct", "unet_ucc",
+                     "unet_ccps", "unet_f", "unet_g", "unet_h"]:
+            assert name in MODEL_REGISTRY
+
+
+class TestRngSemantics:
+    def test_aux_decoders_differ_from_main(self):
+        m = net_factory("unet_uaps", class_num=4)
+        v = _init(m, X)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+            jnp.float32)
+        out, _ = _apply(m, v, x)
+        main = np.asarray(out[0])
+        for i, aux in enumerate(out[1:]):
+            assert not np.allclose(main, np.asarray(aux)), f"aux{i+1}==main"
+
+    def test_eval_main_only_matches_fused_forward(self):
+        m = net_factory("unet_uaps", class_num=4)
+        v = _init(m, X)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 32, 32, 3)),
+            jnp.float32)
+        full = m.apply(v, x, train=False,
+                       rngs={"perturb": jax.random.key(9)})
+        main = m.apply(v, x, train=False, method=m.main_only)
+        np.testing.assert_allclose(
+            np.asarray(full[0]), np.asarray(main), rtol=1e-5, atol=1e-5)
+
+    def test_eval_deterministic(self):
+        m = net_factory("unet", class_num=4)
+        v = _init(m, X)
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 32, 32, 3)),
+            jnp.float32)
+        a = m.apply(v, x, train=False)
+        b = m.apply(v, x, train=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestUpsample:
+    def test_matches_torch_align_corners(self, rng):
+        a = rng.standard_normal((2, 7, 9, 5)).astype(np.float32)
+        ours = np.asarray(upsample2x_align_corners(jnp.asarray(a)))
+        t = torch.nn.Upsample(scale_factor=2, mode="bilinear",
+                              align_corners=True)
+        theirs = t(torch.from_numpy(a.transpose(0, 3, 1, 2)))
+        theirs = theirs.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,326 @@
+"""U-Net building blocks and the multi-decoder family, in Flax (NHWC).
+
+Architecture pinned to /root/reference/utilities/UAPS_unet.py (blocks:31-153,
+UNet:188-205, UNet_UAPS:208-233), /root/reference/utilities/m_unet.py
+(Decoder_mcps:156-210, UNet_f/g/h:264-329, UNet_CCPS:332-357),
+/root/reference/UCC/UCC_unet.py (UNet_UCC:245-270) and
+/root/reference/CCT/CCT_unet.py (UNet_CCT:261-286).
+
+TPU-first deviations (documented, behavior-preserving for training quality):
+  - NHWC layout (XLA's preferred conv layout on TPU) instead of NCHW.
+  - One fused forward: encoder runs once, all decoders trace into a single
+    XLA program; the reference re-instantiates perturbation modules per call.
+  - Perturbation RNG comes from a single `perturb` rng collection instead of
+    three frameworks' RNGs.
+  - `compute_dtype` enables bfloat16 activations/weights-on-the-fly for the
+    MXU; parameters stay float32.
+  - BatchNorm under `jit`-sharded data parallelism reduces over the GLOBAL
+    batch (sync-BN). The reference's nn.DataParallel uses per-replica stats;
+    sync-BN is strictly more deterministic and is the standard TPU choice
+    (SURVEY.md §7 hard part 2).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uaps_tpu.ops.perturbations import perturb_features
+
+# Reference channel/dropout schedule (UAPS_unet.py:192-197)
+UNET_FEATURES: Tuple[int, ...] = (16, 32, 64, 128, 256)
+UNET_DROPOUT: Tuple[float, ...] = (0.05, 0.1, 0.2, 0.3, 0.5)
+
+Dtype = Any
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3-BN-LeakyReLU, Dropout, Conv3x3-BN-LeakyReLU
+    (UAPS_unet.py:31-47)."""
+    features: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+        x = nn.leaky_relu(x)  # negative_slope 0.01 == torch default
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x)
+
+
+class DownBlock(nn.Module):
+    """2x2 max-pool then ConvBlock (UAPS_unet.py:50-62)."""
+    features: int
+    dropout_rate: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return ConvBlock(self.features, self.dropout_rate, self.dtype)(
+            x, train=train
+        )
+
+
+def _align_corners_weights(n_in: int, n_out: int) -> jnp.ndarray:
+    """[n_out, n_in] linear-interp matrix with torch align_corners=True
+    semantics (output i samples input i*(n_in-1)/(n_out-1))."""
+    import numpy as np
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    w = np.zeros((n_out, n_in), np.float32)
+    w[np.arange(n_out), lo] += 1.0 - frac
+    w[np.arange(n_out), hi] += frac
+    return jnp.asarray(w)
+
+
+def upsample2x_align_corners(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample matching torch nn.Upsample(align_corners=True).
+
+    Implemented as two dense interpolation matmuls (static shapes, so the
+    weight matrices are compile-time constants and the contraction maps to
+    the MXU) instead of gather-based resize.
+    """
+    b, h, w, c = x.shape
+    wh = _align_corners_weights(h, 2 * h).astype(x.dtype)
+    ww = _align_corners_weights(w, 2 * w).astype(x.dtype)
+    # HIGHEST precision: default matmul precision truncates the interp
+    # weights to bf16 mantissas, breaking parity with torch align_corners.
+    x = jnp.einsum("Hh,bhwc->bHwc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Ww,bHwc->bHWc", ww, x,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+class UpBlock(nn.Module):
+    """Upsample, concat skip, ConvBlock (UAPS_unet.py:65-86).
+
+    REFERENCE TRAP: the reference's Decoder builds UpBlock without passing
+    `bilinear`, whose default is True (UAPS_unet.py:68-79,129-136) — the
+    params dict's 'bilinear': False is dead config. So the actual trained
+    architecture is conv1x1 + bilinear(align_corners=True) upsampling, and
+    that is our default; bilinear=False gives the transposed-conv variant.
+    """
+    skip_features: int
+    out_features: int
+    dropout_rate: float = 0.0
+    bilinear: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        if self.bilinear:
+            x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype)(x)
+            x = upsample2x_align_corners(x)
+        else:
+            x = nn.ConvTranspose(
+                self.skip_features, (2, 2), strides=(2, 2), dtype=self.dtype
+            )(x)
+        # reference concatenates [skip, upsampled] (torch.cat([x2, x1]))
+        x = jnp.concatenate([skip, x], axis=-1)
+        return ConvBlock(self.out_features, self.dropout_rate, self.dtype)(
+            x, train=train
+        )
+
+
+class Encoder(nn.Module):
+    """5-stage encoder, returns all skip features (UAPS_unet.py:89-116)."""
+    in_features: Tuple[int, ...] = UNET_FEATURES
+    dropout: Tuple[float, ...] = UNET_DROPOUT
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ft, dp = self.in_features, self.dropout
+        x0 = ConvBlock(ft[0], dp[0], self.dtype, name="in_conv")(x, train=train)
+        x1 = DownBlock(ft[1], dp[1], self.dtype, name="down1")(x0, train=train)
+        x2 = DownBlock(ft[2], dp[2], self.dtype, name="down2")(x1, train=train)
+        x3 = DownBlock(ft[3], dp[3], self.dtype, name="down3")(x2, train=train)
+        x4 = DownBlock(ft[4], dp[4], self.dtype, name="down4")(x3, train=train)
+        return [x0, x1, x2, x3, x4]
+
+
+class Decoder(nn.Module):
+    """4 up-stages + 3x3 output conv -> logits (UAPS_unet.py:119-153)."""
+    num_classes: int
+    features: Tuple[int, ...] = UNET_FEATURES
+    bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], *, train: bool = False):
+        ft = self.features
+        x0, x1, x2, x3, x4 = feats
+        x = UpBlock(ft[3], ft[3], 0.0, self.bilinear, self.dtype, name="up1")(
+            x4, x3, train=train)
+        x = UpBlock(ft[2], ft[2], 0.0, self.bilinear, self.dtype, name="up2")(
+            x, x2, train=train)
+        x = UpBlock(ft[1], ft[1], 0.0, self.bilinear, self.dtype, name="up3")(
+            x, x1, train=train)
+        x = UpBlock(ft[0], ft[0], 0.0, self.bilinear, self.dtype, name="up4")(
+            x, x0, train=train)
+        logits = nn.Conv(
+            self.num_classes, (3, 3), padding=1, dtype=jnp.float32,
+            name="out_conv",
+        )(x)
+        return logits
+
+
+class DeepSupervisionDecoder(nn.Module):
+    """Decoder_mcps (m_unet.py:156-210): multi-scale heads + feature taps.
+
+    Returns a dict:
+      bottleneck, f1..f4 (intermediate up-stage features),
+      dp0 (full-res logits), dp1..dp3 (coarser heads, nearest-resized to
+      the input shape, matching torch F.interpolate default mode).
+    """
+    num_classes: int
+    features: Tuple[int, ...] = UNET_FEATURES
+    bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], out_hw: Tuple[int, int],
+                 *, train: bool = False):
+        ft = self.features
+        x0, x1, x2, x3, x4 = feats
+        h, w = out_hw
+
+        def head(x, name):
+            logits = nn.Conv(self.num_classes, (3, 3), padding=1,
+                             dtype=jnp.float32, name=name)(x)
+            b = logits.shape[0]
+            return jax.image.resize(
+                logits, (b, h, w, self.num_classes), method="nearest"
+            )
+
+        f1 = UpBlock(ft[3], ft[3], 0.0, self.bilinear, self.dtype, name="up1")(
+            x4, x3, train=train)
+        dp3 = head(f1, "out_conv_dp3")
+        f2 = UpBlock(ft[2], ft[2], 0.0, self.bilinear, self.dtype, name="up2")(
+            f1, x2, train=train)
+        dp2 = head(f2, "out_conv_dp2")
+        f3 = UpBlock(ft[1], ft[1], 0.0, self.bilinear, self.dtype, name="up3")(
+            f2, x1, train=train)
+        dp1 = head(f3, "out_conv_dp1")
+        f4 = UpBlock(ft[0], ft[0], 0.0, self.bilinear, self.dtype, name="up4")(
+            f3, x0, train=train)
+        dp0 = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=jnp.float32,
+                      name="out_conv")(f4)
+        return {
+            "bottleneck": x4, "f1": f1, "f2": f2, "f3": f3, "f4": f4,
+            "dp0": dp0, "dp1": dp1, "dp2": dp2, "dp3": dp3,
+        }
+
+
+class UNet(nn.Module):
+    """Plain single-decoder U-Net (UAPS_unet.py:188-205 /
+    baseline_unet.py:159-176)."""
+    num_classes: int
+    features: Tuple[int, ...] = UNET_FEATURES
+    dropout: Tuple[float, ...] = UNET_DROPOUT
+    bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype,
+                        name="encoder")(x, train=train)
+        return Decoder(self.num_classes, self.features, self.bilinear,
+                       self.dtype, name="decoder")(feats, train=train)
+
+
+class MultiDecoderUNet(nn.Module):
+    """Shared encoder + main decoder + N perturbed auxiliary decoders.
+
+    Parameterization covers the reference's whole multi-decoder family:
+      UNet_UAPS / UNet_CCT: perturbations=('feature_noise','dropout',
+                                           'feature_dropout')
+      UNet_UCC:             perturbations=('feature_noise',)
+      UNet_CCPS:            perturbations=('feature_dropout',)
+    The encoder runs ONCE and every decoder traces into the same jitted
+    forward — the aux-decoder count is a static config, so XLA sees one
+    fused program (SURVEY.md §7 M4; the reference's per-call module
+    re-instantiation at UAPS_unet.py:227-232 becomes key-splitting).
+
+    During eval (`train=False`) perturbations still apply if rngs are given
+    (reference applies them unconditionally); use `main_only` for the
+    validation path, which the reference effectively uses by discarding aux
+    outputs (UAPS_train.py:377).
+    """
+    num_classes: int
+    perturbations: Tuple[str, ...] = ("feature_noise", "dropout",
+                                      "feature_dropout")
+    features: Tuple[int, ...] = UNET_FEATURES
+    dropout: Tuple[float, ...] = UNET_DROPOUT
+    bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.features, self.dropout, self.dtype)
+        self.main_decoder = Decoder(self.num_classes, self.features,
+                                    self.bilinear, self.dtype)
+        self.aux_decoders = [
+            Decoder(self.num_classes, self.features, self.bilinear,
+                    self.dtype, name=f"aux_decoder{i + 1}")
+            for i in range(len(self.perturbations))
+        ]
+
+    def __call__(self, x, *, train: bool = False):
+        feats = self.encoder(x, train=train)
+        outputs = [self.main_decoder(feats, train=train)]
+        if self.perturbations:
+            key = self.make_rng("perturb")
+            keys = jax.random.split(key, len(self.perturbations))
+            for k, kind, dec in zip(keys, self.perturbations,
+                                    self.aux_decoders):
+                pfeats = perturb_features(k, feats, kind)
+                outputs.append(dec(pfeats, train=train))
+        return tuple(outputs)
+
+    def main_only(self, x, *, train: bool = False):
+        """Encoder + main decoder only — the eval fast path."""
+        feats = self.encoder(x, train=train)
+        return self.main_decoder(feats, train=train)
+
+
+class DeepSupervisionUNet(nn.Module):
+    """Encoder + Decoder_mcps with optional input perturbation.
+
+    Covers m_unet.py UNet_f (perturbation='none'), UNet_g
+    ('feature_dropout'), UNet_h ('feature_noise').
+    """
+    num_classes: int
+    perturbation: str = "none"
+    features: Tuple[int, ...] = UNET_FEATURES
+    dropout: Tuple[float, ...] = UNET_DROPOUT
+    bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype,
+                        name="encoder")(x, train=train)
+        if self.perturbation != "none":
+            key = self.make_rng("perturb")
+            feats = perturb_features(key, feats, self.perturbation)
+        return DeepSupervisionDecoder(
+            self.num_classes, self.features, self.bilinear, self.dtype,
+            name="main_decoder",
+        )(feats, x.shape[1:3], train=train)

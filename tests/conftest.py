@@ -5,8 +5,10 @@ TPU-pod sharding behavior is tested without a real pod.
 """
 import os
 
-# Force CPU regardless of ambient JAX_PLATFORMS (the session may point at a
-# single tunneled TPU chip, which would hang / serialize the test suite).
+# Force CPU regardless of ambient JAX_PLATFORMS. NOTE: the environment's
+# sitecustomize registers an 'axon' TPU plugin and overrides jax_platforms
+# AFTER env-var parsing, so the env var alone is not enough — we must also
+# jax.config.update post-import.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -15,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

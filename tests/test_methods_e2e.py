@@ -1,0 +1,196 @@
+"""End-to-end method tests on synthetic data (SURVEY.md §4c-e).
+
+Covers: single-step mechanics (finite loss, grads applied, state evolves),
+multi-step learning signal (loss decreases), sharded-vs-single-device
+equivalence (the TPU-pod test without a pod), and the full Trainer loop
+with checkpoint/resume.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uaps_tpu.data.synthetic import SyntheticDefects
+from uaps_tpu.methods import get_method, base as mbase
+from uaps_tpu.parallel import make_mesh, replicate_state, shard_batch
+from uaps_tpu.utils.config import preset
+
+
+def tiny_cfg(method="uaps", **run_kw):
+    import dataclasses
+    cfg = preset("synthetic", method=method)
+    cfg.data = dataclasses.replace(cfg.data, image_size=(32, 32),
+                                   batch_size=8)
+    cfg.run = dataclasses.replace(cfg.run, **run_kw) if run_kw else cfg.run
+    return cfg
+
+
+def make_batch(cfg, seed=0):
+    data = SyntheticDefects(cfg.data, seed=seed)
+    return next(iter(data.train_iter()))
+
+
+@pytest.mark.parametrize("method_name", ["baseline", "uaps"])
+class TestTrainStep:
+    def test_single_step(self, method_name):
+        cfg = tiny_cfg(method_name)
+        method = get_method(method_name)
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        batch = make_batch(cfg)
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        new_state, metrics = step(state, batch)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        # params actually moved
+        p1 = jax.tree.leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+        # PRNG key advanced
+        assert not np.array_equal(
+            jax.random.key_data(state.key), jax.random.key_data(new_state.key))
+
+    def test_loss_decreases(self, method_name):
+        cfg = tiny_cfg(method_name)
+        method = get_method(method_name)
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        data = SyntheticDefects(cfg.data, seed=1)
+        losses = []
+        stream = data.train_iter()
+        for i in range(12):
+            state, metrics = step(state, next(stream))
+            losses.append(float(metrics["loss"]))
+        assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+
+class TestUAPSSemantics:
+    def test_metrics_contain_uaps_terms(self):
+        cfg = tiny_cfg("uaps")
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        _, metrics = step(state, make_batch(cfg))
+        for k in ["sup_loss", "ps_loss", "uncertainty_loss",
+                  "consistency_w1", "consistency_w2"]:
+            assert k in metrics and np.isfinite(float(metrics[k])), k
+
+    def test_ramp_weight_grows(self):
+        cfg = tiny_cfg("uaps")
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        batch = make_batch(cfg)
+        _, m0 = step(state, batch)
+        # jump the step counter far ahead -> weight ~ consistency1
+        state_late = state.replace(step=jnp.asarray(80 * 1000, jnp.int32))
+        _, m1 = step(state_late, batch)
+        assert float(m1["consistency_w1"]) > float(m0["consistency_w1"])
+        np.testing.assert_allclose(float(m1["consistency_w1"]),
+                                   cfg.method.consistency1, rtol=1e-5)
+
+    def test_ablation_flags(self):
+        import dataclasses
+        cfg = tiny_cfg("uaps")
+        cfg.method = dataclasses.replace(
+            cfg.method, dynamic_mixing=False, uncertainty_gate=False)
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        _, metrics = step(state, make_batch(cfg))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_n_aux_2(self):
+        import dataclasses
+        cfg = tiny_cfg("uaps")
+        cfg.model = dataclasses.replace(cfg.model, n_aux=2)
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        _, metrics = step(state, make_batch(cfg))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardingEquivalence:
+    """SURVEY §4e: sharded-vs-single-device step equivalence on the 8-dev
+    CPU mesh — how TPU-pod behavior is tested without a pod."""
+
+    def _run(self, n_devices):
+        cfg = tiny_cfg("uaps")
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        mesh = make_mesh(n_devices)
+        state = replicate_state(state, mesh)
+        batch = shard_batch(make_batch(cfg), mesh)
+        new_state, metrics = step(state, batch)
+        return jax.device_get(new_state.params), jax.device_get(metrics)
+
+    def test_8dev_matches_1dev(self, devices):
+        p1, m1 = self._run(1)
+        p8, m8 = self._run(8)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=5e-3)
+        flat1 = jax.tree.leaves(p1)
+        flat8 = jax.tree.leaves(p8)
+        # Adam normalizes the gradient, so reduction-order noise on a
+        # near-zero gradient coordinate can flip its update sign: per-coord
+        # differences are bounded by ~2*lr. Assert within that envelope.
+        lr = 1e-3
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(a, b, rtol=2e-2, atol=2.5 * lr)
+
+
+class TestTrainerLoop:
+    def test_trainer_end_to_end_with_resume(self, tmp_path):
+        from uaps_tpu.train import Trainer
+        import dataclasses
+        cfg = tiny_cfg("uaps")
+        cfg.run = dataclasses.replace(
+            cfg.run, epochs=2, iter_per_epoch=3, out_dir=str(tmp_path))
+        t = Trainer(cfg)
+        best = t.run()
+        assert best > 0
+        assert os.path.exists(tmp_path / "metrics.jsonl")
+        assert t.ckpt.latest_step() is not None
+        # resume: continues from saved epoch without error
+        cfg2 = dataclasses.replace(
+            cfg, run=dataclasses.replace(cfg.run, epochs=3))
+        t2 = Trainer(cfg2)
+        start = t2.maybe_resume()
+        assert start >= 1
+        assert int(jax.device_get(t2.state.step)) >= 3
+
+    def test_eval_step_protocol(self):
+        cfg = tiny_cfg("uaps")
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        eval_step = mbase.make_eval_step(cfg, model)
+        batch = make_batch(cfg)
+        m = eval_step(state.params, state.batch_stats, batch)
+        for k in ["val_loss", "val_miou", "val_mdice", "val_acc"]:
+            assert np.isfinite(float(m[k])), k
+
+
+class TestPlateauScheduler:
+    def test_reduces_after_patience(self):
+        import dataclasses
+        cfg = tiny_cfg("baseline")
+        cfg.optim = dataclasses.replace(cfg.optim, plateau_patience=2)
+        method = get_method("baseline")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        sched = mbase.PlateauScheduler(cfg.optim)
+        lr0 = mbase.get_lr(state)
+        state = sched.step(state, 0.5)   # best
+        for _ in range(3):               # 3 bad epochs > patience 2
+            state = sched.step(state, 0.4)
+        assert mbase.get_lr(state) == pytest.approx(lr0 * 0.1)

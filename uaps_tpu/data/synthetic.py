@@ -1,0 +1,139 @@
+"""Synthetic defect-segmentation data: random textured plates with
+elliptical/streak defect blobs whose appearance correlates with their class.
+
+Purpose (SURVEY.md §4c): hermetic train-step tests and benchmarks with no
+dataset download — the real NEU/DAGM/... images are not shipped with the
+reference repo either (1-byte placeholders at /root/reference/data/NEU-Seg).
+
+The generator is pure numpy on the host (mirroring the role of the cv2/
+albumentations pipeline) and deliberately learnable: class k defects have a
+distinct intensity/texture signature, so a working train step drives mIoU
+well above chance within a few hundred steps.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def _defect_mask(rng: np.random.Generator, h: int, w: int,
+                 num_classes: int, max_blobs: int = 4) -> np.ndarray:
+    """Label map with 1..max_blobs elliptical blobs of classes 1..C-1."""
+    mask = np.zeros((h, w), np.int32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(rng.integers(1, max_blobs + 1)):
+        c = int(rng.integers(1, num_classes))
+        cy, cx = rng.uniform(0.15, 0.85) * h, rng.uniform(0.15, 0.85) * w
+        ry = rng.uniform(0.04, 0.22) * h
+        rx = rng.uniform(0.04, 0.22) * w
+        theta = rng.uniform(0, np.pi)
+        ct, st = np.cos(theta), np.sin(theta)
+        u = (xx - cx) * ct + (yy - cy) * st
+        v = -(xx - cx) * st + (yy - cy) * ct
+        blob = (u / rx) ** 2 + (v / ry) ** 2 <= 1.0
+        mask[blob] = c
+    return mask
+
+
+def _render(rng: np.random.Generator, mask: np.ndarray,
+            in_channels: int) -> np.ndarray:
+    """Image whose per-class appearance is separable but noisy."""
+    h, w = mask.shape
+    base = rng.normal(0.45, 0.08, (h, w))
+    # low-frequency texture: smoothed noise via strided upsample
+    coarse = rng.normal(0, 0.1, (h // 8 + 1, w // 8 + 1))
+    tex = np.kron(coarse, np.ones((8, 8)))[:h, :w]
+    img = base + tex
+    num_classes = int(mask.max()) + 1 if mask.max() > 0 else 2
+    for c in range(1, num_classes):
+        sel = mask == c
+        if not sel.any():
+            continue
+        # class signature: shifted mean + class-dependent stripe pattern
+        shift = 0.25 + 0.15 * c
+        stripes = 0.08 * np.sin(
+            (np.mgrid[0:h, 0:w][c % 2]) * (0.5 + 0.35 * c))
+        img = np.where(sel, base - 0.5 + shift + stripes, img)
+    img = np.clip(img + rng.normal(0, 0.03, (h, w)), 0, 1)
+    chans = [img]
+    for i in range(1, in_channels):
+        chans.append(np.clip(img * (1.0 - 0.1 * i) +
+                             rng.normal(0, 0.02, (h, w)), 0, 1))
+    return np.stack(chans[:in_channels], axis=-1).astype(np.float32)
+
+
+def synthetic_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    image_size: Tuple[int, int] = (64, 64),
+    num_classes: int = 4,
+    in_channels: int = 3,
+    mean: Optional[Tuple[float, ...]] = None,
+    std: Optional[Tuple[float, ...]] = None,
+) -> Dict[str, np.ndarray]:
+    h, w = image_size
+    imgs, masks = [], []
+    for _ in range(batch_size):
+        m = _defect_mask(rng, h, w, num_classes)
+        imgs.append(_render(rng, m, in_channels))
+        masks.append(m)
+    image = np.stack(imgs)
+    if mean is not None:
+        image = (image - np.asarray(mean, np.float32)) / np.asarray(
+            std, np.float32)
+    return {"image": image, "label": np.stack(masks)}
+
+
+class SyntheticDefects:
+    """Infinite two-stream iterator mirroring the real pipeline interface.
+
+    The reference's NEU trainer epoch semantics are broken (un-cycled zip,
+    SURVEY.md §5.3); per §7 the rebuild uses explicitly infinite samplers
+    with steps-per-epoch, which this implements for the synthetic case.
+    """
+
+    def __init__(self, cfg, seed: int = 0):
+        self.cfg = cfg
+        self.seed = seed
+
+    def _stream(self, salt: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + salt)
+        d = self.cfg
+        while True:
+            yield synthetic_batch(
+                rng, d.batch_size, d.image_size, d.num_classes,
+                d.in_channels)
+
+    def train_iter(self):
+        """Yields {'image','label','uimage','ulabel'} merged two-stream
+        batches (labels of the unlabeled stream kept for diagnostics only,
+        like the reference's unused labels_U)."""
+        lab = self._stream(1)
+        unlab = self._stream(2)
+        for a, b in zip(lab, unlab):
+            yield {"image": a["image"], "label": a["label"],
+                   "uimage": b["image"], "ulabel": b["label"]}
+
+    def train_iter_weak_strong(self):
+        """UCC-style stream with a weak/strong unlabeled pair. For the
+        synthetic fixture 'strong' = weak + extra noise jitter."""
+        rng = np.random.default_rng(self.seed + 3)
+        for batch in self.train_iter():
+            strong = batch["uimage"] + rng.normal(
+                0, 0.1, batch["uimage"].shape).astype(np.float32)
+            yield {**batch, "uimage_strong": strong}
+
+    def val_iter(self, num_batches: int = 4):
+        rng = np.random.default_rng(self.seed + 100)
+        d = self.cfg
+        for _ in range(num_batches):
+            yield synthetic_batch(rng, d.batch_size, d.image_size,
+                                  d.num_classes, d.in_channels)
+
+    def test_iter(self, num_batches: int = 8):
+        rng = np.random.default_rng(self.seed + 200)
+        d = self.cfg
+        for _ in range(num_batches):
+            yield synthetic_batch(rng, d.batch_size, d.image_size,
+                                  d.num_classes, d.in_channels)

@@ -1,0 +1,176 @@
+"""Shared training machinery: TrainState, optimizer, sup loss, eval step.
+
+Replaces the duplicated `class Network` skeleton of every reference trainer
+(SURVEY.md §2.2) with pure functions over an explicit state pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from uaps_tpu.models import net_factory
+from uaps_tpu.ops import (
+    cross_entropy_loss,
+    softmax_dice_loss,
+    segmentation_metrics,
+    mean_dice,
+)
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    """Everything that evolves during training, in one pytree.
+
+    `ema_*` carry the mean-teacher weights (MT/UAMT; reference
+    MT_train.py:79-83 update_ema_variables); `second` carries the full
+    second-model state for CPS (reference CPS_model.py:15-23). Unused
+    fields are None and vanish from the pytree.
+    """
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    key: Array
+    ema_params: Any = None
+    ema_batch_stats: Any = None
+    second: Any = None  # nested TrainState for dual-model methods
+
+
+def make_optimizer(optim_cfg) -> optax.GradientTransformation:
+    """Adam with injected lr so the host-side plateau scheduler can adjust
+    it without recompiling (reference uses torch ReduceLROnPlateau,
+    UAPS_train.py:112-113)."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=optim_cfg.base_lr, b1=optim_cfg.b1, b2=optim_cfg.b2,
+        eps=optim_cfg.eps,
+    )
+
+
+def get_lr(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(
+        opt_state=state.opt_state._replace(hyperparams=hp))
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau(mode='max', factor, patience, min_lr) — host-side,
+    stepped once per validation epoch on val mDice
+    (UAPS_train.py:113,402)."""
+
+    def __init__(self, optim_cfg):
+        self.factor = optim_cfg.plateau_factor
+        self.patience = optim_cfg.plateau_patience
+        self.min_lr = optim_cfg.min_lr
+        self.best = -float("inf")
+        self.bad_epochs = 0
+
+    def step(self, state: TrainState, metric: float) -> TrainState:
+        if metric > self.best:
+            self.best = metric
+            self.bad_epochs = 0
+            return state
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            new_lr = max(get_lr(state) * self.factor, self.min_lr)
+            state = set_lr(state, new_lr)
+        return state
+
+
+def build_model(cfg):
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        cfg.model.compute_dtype]
+    kwargs = {"remat": cfg.model.remat}
+    if cfg.model.name == "unet_uaps":
+        kwargs["n_aux"] = cfg.model.n_aux
+    return net_factory(cfg.model.name, in_chns=cfg.data.in_channels,
+                       class_num=cfg.data.num_classes, dtype=dtype, **kwargs)
+
+
+def init_model_state(cfg, model, rng: Array,
+                     tx: optax.GradientTransformation) -> TrainState:
+    h, w = cfg.data.image_size
+    dummy = jnp.zeros((1, h, w, cfg.data.in_channels), jnp.float32)
+    p_key, d_key, pt_key, s_key = jax.random.split(rng, 4)
+    variables = model.init(
+        {"params": p_key, "dropout": d_key, "perturb": pt_key},
+        dummy, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        key=s_key,
+    )
+
+
+def apply_train(model, params, batch_stats, x, rngs) -> Tuple[Any, Any]:
+    """One training-mode forward; returns (outputs, new_batch_stats)."""
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=True,
+        rngs=rngs, mutable=["batch_stats"])
+    return out, mutated["batch_stats"]
+
+
+def supervised_ce_dice(logits: Array, labels: Array) -> Tuple[Array, Array]:
+    """The reference's universal supervised pair: (CE, Dice)
+    (UAPS_train.py:194-211, baseline_train.py:161-164)."""
+    return cross_entropy_loss(logits, labels), softmax_dice_loss(logits, labels)
+
+
+def make_eval_step(cfg, model) -> Callable:
+    """Main-decoder-only validation step: loss = 0.5(CE + (1 - mDice))
+    + metrics, exactly the reference protocol (UAPS_train.py:377-393).
+
+    Returns metric SUMS weighted by nothing (per-batch means) — the caller
+    averages over batches like the reference's running_val_* accumulators.
+    """
+    n_classes = cfg.data.num_classes
+    has_main_only = hasattr(model, "main_only")
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch) -> Dict[str, Array]:
+        variables = {"params": params, "batch_stats": batch_stats}
+        if has_main_only:
+            logits = model.apply(variables, batch["image"], train=False,
+                                 method=model.main_only)
+        else:
+            out = model.apply(variables, batch["image"], train=False)
+            logits = out["dp0"] if isinstance(out, dict) else out
+        labels = batch["label"]
+        ce = cross_entropy_loss(logits, labels)
+        m = segmentation_metrics(logits, labels, n_classes)
+        dice_loss_val = 1.0 - mean_dice(logits, labels, n_classes)
+        return {
+            "val_loss": 0.5 * (ce + dice_loss_val),
+            "val_ce": ce,
+            "val_dice_loss": dice_loss_val,
+            "val_miou": m["miou"],
+            "val_mdice": m["mdice"],
+            "val_acc": m["pixel_acc"],
+        }
+
+    return eval_step
+
+
+def ramp_weight(cmax: float, step: Array, ramp_iters: int,
+                rampup_length: float) -> Array:
+    """consistency * sigmoid_rampup(step // ramp_iters, rampup)
+    (UAPS_train.py:81-87,279-280)."""
+    from uaps_tpu.ops.ramps import sigmoid_rampup
+    epoch = (step // ramp_iters).astype(jnp.float32)
+    return cmax * sigmoid_rampup(epoch, rampup_length)

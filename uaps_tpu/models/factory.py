@@ -31,54 +31,60 @@ def _register(name):
 
 
 @_register("unet")
-def _unet(num_classes: int, dtype=jnp.float32):
-    return UNet(num_classes=num_classes, dtype=dtype)
+def _unet(num_classes: int, dtype=jnp.float32, remat: bool = False):
+    return UNet(num_classes=num_classes, dtype=dtype, remat=remat)
 
 
 @_register("unet_uaps")
-def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3):
+def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
+               remat: bool = False):
     """UAPS net; n_aux in {2,3,4} per the paper's ablation
     (UAPS_train.py:139 comments). kinds cycle through the reference order."""
     base = ("feature_noise", "dropout", "feature_dropout")
     kinds = tuple(base[i % 3] for i in range(n_aux))
     return MultiDecoderUNet(num_classes=num_classes, perturbations=kinds,
-                            dtype=dtype)
+                            dtype=dtype, remat=remat)
 
 
 @_register("unet_cct")
-def _unet_cct(num_classes: int, dtype=jnp.float32):
+def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False):
     # arch-identical to unet_uaps (CCT/CCT_unet.py:261-286)
-    return MultiDecoderUNet(num_classes=num_classes, dtype=dtype)
+    return MultiDecoderUNet(num_classes=num_classes, dtype=dtype,
+                            remat=remat)
 
 
 @_register("unet_ucc")
-def _unet_ucc(num_classes: int, dtype=jnp.float32):
+def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False):
     return MultiDecoderUNet(num_classes=num_classes,
-                            perturbations=("feature_noise",), dtype=dtype)
+                            perturbations=("feature_noise",), dtype=dtype,
+                            remat=remat)
 
 
 @_register("unet_ccps")
-def _unet_ccps(num_classes: int, dtype=jnp.float32):
+def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False):
     return MultiDecoderUNet(num_classes=num_classes,
-                            perturbations=("feature_dropout",), dtype=dtype)
+                            perturbations=("feature_dropout",), dtype=dtype,
+                            remat=remat)
 
 
 @_register("unet_f")
-def _unet_f(num_classes: int, dtype=jnp.float32):
+def _unet_f(num_classes: int, dtype=jnp.float32, remat: bool = False):
     return DeepSupervisionUNet(num_classes=num_classes, perturbation="none",
-                               dtype=dtype)
+                               dtype=dtype, remat=remat)
 
 
 @_register("unet_g")
-def _unet_g(num_classes: int, dtype=jnp.float32):
+def _unet_g(num_classes: int, dtype=jnp.float32, remat: bool = False):
     return DeepSupervisionUNet(num_classes=num_classes,
-                               perturbation="feature_dropout", dtype=dtype)
+                               perturbation="feature_dropout", dtype=dtype,
+                               remat=remat)
 
 
 @_register("unet_h")
-def _unet_h(num_classes: int, dtype=jnp.float32):
+def _unet_h(num_classes: int, dtype=jnp.float32, remat: bool = False):
     return DeepSupervisionUNet(num_classes=num_classes,
-                               perturbation="feature_noise", dtype=dtype)
+                               perturbation="feature_noise", dtype=dtype,
+                               remat=remat)
 
 
 def net_factory(net_type: str, in_chns: int = 3, class_num: int = 4,

@@ -146,7 +146,8 @@ class Encoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
+        # `train` is positional so nn.remat can declare it static
         ft, dp = self.in_features, self.dropout
         x0 = ConvBlock(ft[0], dp[0], self.dtype, name="in_conv")(x, train=train)
         x1 = DownBlock(ft[1], dp[1], self.dtype, name="down1")(x0, train=train)
@@ -164,7 +165,7 @@ class Decoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], *, train: bool = False):
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
         ft = self.features
         x0, x1, x2, x3, x4 = feats
         x = UpBlock(ft[3], ft[3], 0.0, self.bilinear, self.dtype, name="up1")(
@@ -197,7 +198,7 @@ class DeepSupervisionDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], out_hw: Tuple[int, int],
-                 *, train: bool = False):
+                 train: bool = False):
         ft = self.features
         x0, x1, x2, x3, x4 = feats
         h, w = out_hw
@@ -229,6 +230,20 @@ class DeepSupervisionDecoder(nn.Module):
         }
 
 
+def _maybe_remat(remat: bool):
+    """(Encoder, Decoder) classes, rematerialized per-segment when asked.
+
+    Remat trades ~1/3 extra forward FLOPs for not storing each segment's
+    activations for the backward pass — the decisive knob for fitting the
+    double-forward 4-decoder step in HBM at 256x256 batch 16
+    (jax.checkpoint via nn.remat; `train` is static argnum 2).
+    """
+    if not remat:
+        return Encoder, Decoder
+    return (nn.remat(Encoder, static_argnums=(2,)),
+            nn.remat(Decoder, static_argnums=(2,)))
+
+
 class UNet(nn.Module):
     """Plain single-decoder U-Net (UAPS_unet.py:188-205 /
     baseline_unet.py:159-176)."""
@@ -237,13 +252,15 @@ class UNet(nn.Module):
     dropout: Tuple[float, ...] = UNET_DROPOUT
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        feats = Encoder(self.features, self.dropout, self.dtype,
-                        name="encoder")(x, train=train)
-        return Decoder(self.num_classes, self.features, self.bilinear,
-                       self.dtype, name="decoder")(feats, train=train)
+        enc_cls, dec_cls = _maybe_remat(self.remat)
+        feats = enc_cls(self.features, self.dropout, self.dtype,
+                        name="encoder")(x, train)
+        return dec_cls(self.num_classes, self.features, self.bilinear,
+                       self.dtype, name="decoder")(feats, train)
 
 
 class MultiDecoderUNet(nn.Module):
@@ -271,33 +288,35 @@ class MultiDecoderUNet(nn.Module):
     dropout: Tuple[float, ...] = UNET_DROPOUT
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
-        self.encoder = Encoder(self.features, self.dropout, self.dtype)
-        self.main_decoder = Decoder(self.num_classes, self.features,
+        enc_cls, dec_cls = _maybe_remat(self.remat)
+        self.encoder = enc_cls(self.features, self.dropout, self.dtype)
+        self.main_decoder = dec_cls(self.num_classes, self.features,
                                     self.bilinear, self.dtype)
         self.aux_decoders = [
-            Decoder(self.num_classes, self.features, self.bilinear,
+            dec_cls(self.num_classes, self.features, self.bilinear,
                     self.dtype, name=f"aux_decoder{i + 1}")
             for i in range(len(self.perturbations))
         ]
 
     def __call__(self, x, *, train: bool = False):
-        feats = self.encoder(x, train=train)
-        outputs = [self.main_decoder(feats, train=train)]
+        feats = self.encoder(x, train)
+        outputs = [self.main_decoder(feats, train)]
         if self.perturbations:
             key = self.make_rng("perturb")
             keys = jax.random.split(key, len(self.perturbations))
             for k, kind, dec in zip(keys, self.perturbations,
                                     self.aux_decoders):
                 pfeats = perturb_features(k, feats, kind)
-                outputs.append(dec(pfeats, train=train))
+                outputs.append(dec(pfeats, train))
         return tuple(outputs)
 
     def main_only(self, x, *, train: bool = False):
         """Encoder + main decoder only — the eval fast path."""
-        feats = self.encoder(x, train=train)
-        return self.main_decoder(feats, train=train)
+        feats = self.encoder(x, train)
+        return self.main_decoder(feats, train)
 
 
 class DeepSupervisionUNet(nn.Module):
@@ -312,15 +331,19 @@ class DeepSupervisionUNet(nn.Module):
     dropout: Tuple[float, ...] = UNET_DROPOUT
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        feats = Encoder(self.features, self.dropout, self.dtype,
-                        name="encoder")(x, train=train)
+        enc_cls, _ = _maybe_remat(self.remat)
+        ds_cls = (nn.remat(DeepSupervisionDecoder, static_argnums=(2, 3))
+                  if self.remat else DeepSupervisionDecoder)
+        feats = enc_cls(self.features, self.dropout, self.dtype,
+                        name="encoder")(x, train)
         if self.perturbation != "none":
             key = self.make_rng("perturb")
             feats = perturb_features(key, feats, self.perturbation)
-        return DeepSupervisionDecoder(
+        return ds_cls(
             self.num_classes, self.features, self.bilinear, self.dtype,
             name="main_decoder",
-        )(feats, x.shape[1:3], train=train)
+        )(feats, x.shape[1:3], train)

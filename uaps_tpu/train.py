@@ -1,0 +1,254 @@
+"""Training CLI + Trainer loop.
+
+Replaces every reference `python X_train.py` entry point (SURVEY.md §2.2)
+with one CLI:
+
+    python -m uaps_tpu.train --preset neu --method uaps
+    python -m uaps_tpu.train --preset synthetic --method baseline --epochs 2
+
+Structure mirrors the reference's epoch loop (UAPS_train.py:109-465):
+train `iter_per_epoch` steps -> epoch metric means -> val sweep on the main
+decoder -> plateau scheduler on val mDice -> keep-best checkpoint — but the
+step is one jitted SPMD program over the device mesh, metrics stay on
+device until the epoch boundary, and data comes from explicitly infinite
+samplers (fixing the un-cycled zip crash path, SURVEY §5.3).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uaps_tpu.methods import get_method, base as method_base
+from uaps_tpu.parallel import make_mesh, replicate_state, shard_batch, \
+    distributed_init
+from uaps_tpu.utils.checkpoint import CheckpointManager
+from uaps_tpu.utils.config import Config, preset
+from uaps_tpu.utils.logging_utils import get_logger, MetricWriter
+
+
+def make_data(cfg: Config, seed: int = 0):
+    """Dataset factory: synthetic fixture or the real image pipeline."""
+    if cfg.data.name == "synthetic":
+        from uaps_tpu.data.synthetic import SyntheticDefects
+        return SyntheticDefects(cfg.data, seed=seed)
+    from uaps_tpu.data.pipeline import DefectDataset
+    return DefectDataset(cfg.data, seed=seed)
+
+
+def _train_stream(data, method_name: str) -> Iterator[Dict]:
+    if method_name == "ucc":
+        return data.train_iter_weak_strong()
+    return data.train_iter()
+
+
+class Trainer:
+    def __init__(self, cfg: Config, num_devices: Optional[int] = None):
+        self.cfg = cfg
+        self.mesh = make_mesh(num_devices)
+        self.logger = get_logger(cfg.run.out_dir)
+        self.writer = MetricWriter(cfg.run.out_dir)
+        self.method = get_method(cfg.method.name)
+        self.data = make_data(cfg, seed=cfg.run.seed)
+
+        rng = jax.random.key(cfg.run.seed)
+        self.state, self.model = self.method.init_state(cfg, rng)
+        self.tx = method_base.make_optimizer(cfg.optim)
+        step_fn = self.method.make_train_step(cfg, self.model, self.tx)
+        self.train_step = jax.jit(step_fn, donate_argnums=0)
+        self.eval_step = method_base.make_eval_step(cfg, self.model)
+        self.scheduler = method_base.PlateauScheduler(cfg.optim)
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.run.out_dir, "checkpoints"),
+            keep=cfg.run.keep_checkpoints)
+        self.best_dice = -1.0
+        self.patience = 0
+
+        # replicate state over the mesh; batches arrive sharded on 'data'
+        self.state = replicate_state(self.state, self.mesh)
+
+    # ------------------------------------------------------------------
+    def maybe_resume(self) -> int:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
+        restored, host = self.ckpt.restore(abstract)
+        if restored is None:
+            return 0
+        self.state = replicate_state(restored, self.mesh)
+        host = host or {}
+        self.best_dice = host.get("best_dice", -1.0)
+        self.scheduler.best = host.get("sched_best", -float("inf"))
+        self.scheduler.bad_epochs = host.get("sched_bad", 0)
+        start_epoch = host.get("epoch", 0)
+        self.logger.info(
+            f"resumed from step {int(jax.device_get(self.state.step))} "
+            f"(epoch {start_epoch}, best dice {self.best_dice:.4f})")
+        return start_epoch
+
+    # ------------------------------------------------------------------
+    def validate(self) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        params = self.state.params
+        bstats = self.state.batch_stats
+        if self.state.ema_params is not None and \
+                self.cfg.method.name in ("mt", "uamt"):
+            # reference validates the STUDENT (UAPS_train.py analog in
+            # MT_train.py:352 uses self.model, the student)
+            pass
+        for batch in self.data.val_iter():
+            m = self.eval_step(params, bstats, shard_batch(batch, self.mesh))
+            m = jax.device_get(m)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = False):
+        cfg = self.cfg
+        start_epoch = self.maybe_resume() if resume else 0
+        stream = _train_stream(self.data, cfg.method.name)
+        self.logger.info(
+            f"method={cfg.method.name} model={cfg.model.name} "
+            f"devices={self.mesh.devices.size} "
+            f"batch={cfg.data.batch_size} image={cfg.data.image_size}")
+        if cfg.run.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        for epoch in range(start_epoch + 1, cfg.run.epochs + 1):
+            t0 = time.time()
+            epoch_metrics = []
+            for it in range(cfg.run.iter_per_epoch):
+                batch = shard_batch(next(stream), self.mesh)
+                if (cfg.run.profile_steps
+                        and epoch == 1 and it == cfg.run.profile_steps[0]):
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.run.out_dir, "profile"))
+                self.state, metrics = self.train_step(self.state, batch)
+                epoch_metrics.append(metrics)
+                if (cfg.run.profile_steps
+                        and epoch == 1 and it == cfg.run.profile_steps[1]):
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+            # single device->host sync per epoch
+            epoch_metrics = jax.device_get(epoch_metrics)
+            means = {
+                k: float(np.nanmean([m[k] for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }
+            steps = cfg.run.iter_per_epoch
+            dt = time.time() - t0
+            imgs = steps * cfg.data.batch_size
+            means["imgs_per_sec"] = imgs / dt
+            means["lr"] = method_base.get_lr(self.state)
+
+            val = self.validate()
+            self.state = self.scheduler.step(self.state, val["val_mdice"])
+
+            self.writer.write(epoch, {**means, **val})
+            self.logger.info(
+                f"epoch {epoch:03d}/{cfg.run.epochs} "
+                f"loss {means.get('loss', float('nan')):.4f} "
+                f"train_dice {means.get('train_mdice', float('nan')):.4f} "
+                f"val_dice {val['val_mdice']:.4f} "
+                f"val_miou {val['val_miou']:.4f} "
+                f"({means['imgs_per_sec']:.1f} img/s)")
+
+            if val["val_mdice"] > self.best_dice:
+                self.best_dice = val["val_mdice"]
+                self.patience = 0
+                self.ckpt.save(
+                    int(jax.device_get(self.state.step)),
+                    jax.device_get(self.state),
+                    host_state={
+                        "epoch": epoch, "best_dice": self.best_dice,
+                        "sched_best": self.scheduler.best,
+                        "sched_bad": self.scheduler.bad_epochs,
+                        "config_method": cfg.method.name,
+                    },
+                    metrics=val)
+            else:
+                self.patience += 1
+        self.ckpt.wait()
+        self.writer.close()
+        return self.best_dice
+
+
+def parse_args(argv=None) -> Config:
+    p = argparse.ArgumentParser(description="uaps-tpu trainer")
+    p.add_argument("--preset", default="synthetic",
+                   help="neu|dagm|mtiles|kosdd2|synthetic")
+    p.add_argument("--method", default=None,
+                   help="uaps|baseline|mt|uamt|cps|cct|dct|ucc")
+    p.add_argument("--model", default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--iter_per_epoch", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--base_lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--labeled_fraction", type=float, default=None)
+    p.add_argument("--consistency1", type=float, default=None)
+    p.add_argument("--consistency2", type=float, default=None)
+    p.add_argument("--consistency_rampup", type=float, default=None)
+    p.add_argument("--ema_decay", type=float, default=None)
+    p.add_argument("--n_aux", type=int, default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--image_root", default=None)
+    p.add_argument("--mask_root", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--debug_nans", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.preset == "synthetic":
+        cfg = preset("synthetic", method=args.method or "uaps")
+    elif args.preset == "neu":
+        cfg = preset("neu", method=args.method or "uaps")
+    else:
+        cfg = preset(args.preset)
+
+    def rep(node, **kw):
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return dataclasses.replace(node, **kw)
+
+    cfg = Config(
+        data=rep(cfg.data, num_classes=args.num_classes,
+                 batch_size=args.batch_size,
+                 labeled_fraction=args.labeled_fraction,
+                 image_root=args.image_root, mask_root=args.mask_root),
+        model=rep(cfg.model, name=args.model, n_aux=args.n_aux,
+                  compute_dtype=args.dtype),
+        method=rep(cfg.method, name=args.method,
+                   consistency1=args.consistency1,
+                   consistency2=args.consistency2,
+                   consistency_rampup=args.consistency_rampup,
+                   ema_decay=args.ema_decay),
+        optim=rep(cfg.optim, base_lr=args.base_lr),
+        run=rep(cfg.run, epochs=args.epochs,
+                iter_per_epoch=args.iter_per_epoch, seed=args.seed,
+                out_dir=args.out_dir,
+                debug_nans=args.debug_nans or None),
+    )
+    return cfg, args
+
+
+def main(argv=None):
+    distributed_init()
+    cfg, args = parse_args(argv)
+    trainer = Trainer(cfg, num_devices=args.num_devices)
+    best = trainer.run(resume=args.resume)
+    trainer.logger.info(f"done; best val mDice {best:.4f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""One dataclass config tree replacing the reference's config-by-copy.
+
+The reference scatters configuration across argparse flags that are partly
+dead (UAPS_train.py:36-60), hard-coded constants that override them
+(epochs=800 :66, iter_per_epoch=60 :78, batch sizes and paths inside
+dataloader modules), and four whole-directory dataset copies (SURVEY.md
+§2.3, §5.6). Here: one tree + named presets.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    name: str = "synthetic"            # synthetic | neu | dagm | mtiles | kosdd2
+    image_root: str = ""
+    mask_root: str = ""
+    test_image_root: str = ""
+    test_mask_root: str = ""
+    num_classes: int = 4
+    in_channels: int = 3
+    image_size: Tuple[int, int] = (256, 256)   # (H, W)
+    batch_size: int = 16
+    # split protocol (reference utilities/dataloaders.py:52-53):
+    # val split first (seed 69), then labeled/unlabeled split (seed 45);
+    # labeled_fraction = 1 - test_size of the second split.
+    val_fraction: float = 0.15
+    labeled_fraction: float = 0.10
+    split_seed_val: int = 69
+    split_seed_labeled: int = 45
+    mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
+    std: Tuple[float, ...] = (0.229, 0.224, 0.225)
+    # host pipeline
+    shuffle_seed: int = 1337
+    num_workers: int = 8
+    # KoSDD2 permutes portrait 512x256 crops to landscape (SURVEY §2.3)
+    transpose_to_landscape: bool = False
+    binarize_mask: bool = False        # KoSDD2: (mask/255).long()
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "unet_uaps"
+    n_aux: int = 3                     # UAPS ablation: 2..4
+    compute_dtype: str = "float32"     # float32 | bfloat16
+    remat: bool = False                # jax.checkpoint the encoder/decoders
+
+
+@dataclasses.dataclass
+class MethodConfig:
+    name: str = "uaps"  # uaps|baseline|mt|uamt|cps|cct|dct|ucc
+    # sigmoid-ramped consistency weights (UAPS_train.py:53-58,81-87)
+    consistency1: float = 0.1          # pseudo-supervision weight max
+    consistency2: float = 0.1          # uncertainty-min weight max
+    consistency_rampup: float = 200.0
+    ramp_iters: int = 80               # epoch_for_ramp = step // ramp_iters
+    # MT / UAMT (MT_train.py:79-83; UA_MT_train.py:188-215)
+    ema_decay: float = 0.99
+    consistency_start_iter: int = 1000  # MT hard gate (MT_train.py:196-199)
+    uamt_num_samples: int = 8          # T stochastic teacher passes
+    # UAPS ablations
+    dynamic_mixing: bool = True        # False -> plain averaging (:247)
+    uncertainty_gate: bool = True      # False -> ungated ps-loss (:272-275)
+    # MTiles variant extras (MTiles UAPS_train.py:229-239,287)
+    decoder_consistency_weight: float = 0.0
+    unramped_uncertainty: bool = False
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    base_lr: float = 1e-3
+    # ReduceLROnPlateau(mode=max, patience=50, factor=0.1, min_lr=1e-8)
+    # (UAPS_train.py:113)
+    plateau_patience: int = 50
+    plateau_factor: float = 0.1
+    min_lr: float = 1e-8
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclasses.dataclass
+class RunConfig:
+    epochs: int = 800
+    iter_per_epoch: int = 60
+    seed: int = 1337
+    out_dir: str = "runs/default"
+    keep_checkpoints: int = 2
+    log_every: int = 20
+    debug_nans: bool = False
+    profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)
+
+
+@dataclasses.dataclass
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    method: MethodConfig = dataclasses.field(default_factory=MethodConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+
+
+def _neu(method: str = "uaps") -> Config:
+    """NEU-Seg 10% labeled (reference root trainers)."""
+    return Config(
+        data=DataConfig(name="neu", num_classes=4, in_channels=3,
+                        batch_size=16, labeled_fraction=0.10),
+        model=ModelConfig(name=_model_for(method)),
+        method=MethodConfig(name=method),
+    )
+
+
+def _model_for(method: str) -> str:
+    return {
+        "uaps": "unet_uaps", "baseline": "unet", "mt": "unet",
+        "uamt": "unet", "cps": "unet_f", "cct": "unet_cct",
+        "dct": "unet", "ucc": "unet_ucc",
+    }[method]
+
+
+def _dagm() -> Config:
+    """DAGM: 7 classes, grayscale, 10% labeled; fixes the reference's
+    'unet_ccps' factory bug by actually using unet_uaps (SURVEY §2.3)."""
+    return Config(
+        data=DataConfig(
+            name="dagm", num_classes=7, in_channels=1, batch_size=16,
+            labeled_fraction=0.10, mean=(0.5314,), std=(0.1357,),
+        ),
+        model=ModelConfig(name="unet_uaps"),
+        method=MethodConfig(name="uaps"),
+    )
+
+
+def _mtiles() -> Config:
+    """MTiles: 6 classes, 40% labeled, lr 2e-3, iter/epoch 20. The
+    reference adds decoder-consistency terms multiplied by 0 and an
+    UNRAMPED l_uncert (MTiles UAPS_train.py:287) — exposed as flags,
+    defaulting to the reference's effective behavior."""
+    return Config(
+        data=DataConfig(name="mtiles", num_classes=6, batch_size=16,
+                        labeled_fraction=0.40),
+        model=ModelConfig(name="unet_uaps"),
+        method=MethodConfig(name="uaps", decoder_consistency_weight=0.0,
+                            unramped_uncertainty=True),
+        optim=OptimConfig(base_lr=2e-3),
+        run=RunConfig(iter_per_epoch=20),
+    )
+
+
+def _kosdd2() -> Config:
+    """KolektorSDD2: binary, 512x256->landscape, 40% labeled, bs 12,
+    lr 2e-3, rampup 150."""
+    return Config(
+        data=DataConfig(name="kosdd2", num_classes=2, batch_size=12,
+                        image_size=(256, 512), labeled_fraction=0.40,
+                        transpose_to_landscape=True, binarize_mask=True),
+        model=ModelConfig(name="unet_uaps"),
+        method=MethodConfig(name="uaps", consistency_rampup=150.0),
+        optim=OptimConfig(base_lr=2e-3),
+        run=RunConfig(iter_per_epoch=20),
+    )
+
+
+def _synthetic(method: str = "uaps") -> Config:
+    cfg = _neu(method)
+    cfg.data = dataclasses.replace(
+        cfg.data, name="synthetic", image_size=(64, 64), batch_size=8)
+    cfg.run = dataclasses.replace(cfg.run, epochs=3, iter_per_epoch=5,
+                                  out_dir="runs/synthetic")
+    return cfg
+
+
+PRESETS = {
+    "neu": _neu,
+    "dagm": _dagm,
+    "mtiles": _mtiles,
+    "kosdd2": _kosdd2,
+    "synthetic": _synthetic,
+}
+
+
+def preset(name: str, **kwargs) -> Config:
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; known: {sorted(PRESETS)}")
+    return PRESETS[name](**kwargs)

@@ -131,9 +131,10 @@ class SyntheticDefects:
             yield synthetic_batch(rng, d.batch_size, d.image_size,
                                   d.num_classes, d.in_channels)
 
-    def test_iter(self, num_batches: int = 8):
+    def test_iter(self, num_batches: int = 8, batch_size=None):
         rng = np.random.default_rng(self.seed + 200)
         d = self.cfg
         for _ in range(num_batches):
-            yield synthetic_batch(rng, d.batch_size, d.image_size,
-                                  d.num_classes, d.in_channels)
+            yield synthetic_batch(rng, batch_size or d.batch_size,
+                                  d.image_size, d.num_classes,
+                                  d.in_channels)

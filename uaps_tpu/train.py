@@ -207,7 +207,7 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--debug_nans", action="store_true")
-    args = p.parse_args(argv)
+    args, _ = p.parse_known_args(argv)
 
     if args.preset == "synthetic":
         cfg = preset("synthetic", method=args.method or "uaps")

@@ -87,6 +87,22 @@ def _unet_h(num_classes: int, dtype=jnp.float32, remat: bool = False):
                                remat=remat)
 
 
+def _register_basenets():
+    """Stronger ResNet-backbone baselines — the reference keeps these as
+    commented hooks (baseline/baseline_model.py:22-23, utilities/base.py)."""
+    from uaps_tpu.models.resnet import BaseNet
+
+    for bk in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+        def make(num_classes, dtype=jnp.float32, remat=False, _bk=bk):
+            del remat  # resnet trunk fits without remat at these sizes
+            return BaseNet(backbone=_bk, num_classes=num_classes,
+                           dtype=dtype)
+        MODEL_REGISTRY[f"basenet_{bk}"] = make
+
+
+_register_basenets()
+
+
 def net_factory(net_type: str, in_chns: int = 3, class_num: int = 4,
                 dtype=jnp.float32, **kwargs):
     """Build a model by name. `in_chns` is accepted for signature parity

@@ -68,18 +68,29 @@ class DefectDataset:
         return img, mask
 
     def _example(self, rng, stem: str, aug: A.Compose, roots=None):
+        """Augmented uint8 image + int32 mask (normalization happens
+        batched in _finalize, optionally through the native library)."""
         image_root, mask_root = roots or (self.cfg.image_root,
                                           self.cfg.mask_root)
         img, mask = self._read(image_root, mask_root, stem)
         img, mask = aug(rng, img, mask)
-        x = A.normalize(img, self.cfg.mean, self.cfg.std)
+        if img.ndim == 2:
+            img = img[..., None]
         y = mask.astype(np.int32)
         if self.spec.binarize_mask:
             y = (y / 255.0).astype(np.int32)
         if self.spec.transpose_after_resize:
-            x = np.transpose(x, (1, 0, 2))
+            img = np.transpose(img, (1, 0, 2))
             y = np.transpose(y, (1, 0))
-        return x, y
+        return np.ascontiguousarray(img), y
+
+    def _finalize(self, imgs_u8, masks):
+        """Stack + normalize a batch; per-pixel work runs in the native
+        host-ops library when available (uaps_tpu/native), numpy otherwise."""
+        from uaps_tpu import native
+        batch_u8 = np.stack(imgs_u8)
+        x = native.normalize_batch(batch_u8, self.cfg.mean, self.cfg.std)
+        return x, np.stack(masks)
 
     # ------------------------------------------------------------------
     def _infinite_batches(self, ids: List[str], aug_factory, salt: int,
@@ -110,18 +121,15 @@ class DefectDataset:
                             x2, y2 = self._example(r2, stem, extra)
                             return x1, y1, x2, y2
                         results = list(pool.map(load, zip(stems, seeds)))
-                        if extra is None:
-                            batch = {
-                                "image": np.stack([r[0] for r in results]),
-                                "label": np.stack([r[1] for r in results]),
-                            }
-                        else:
-                            batch = {
-                                "image": np.stack([r[0] for r in results]),
-                                "label": np.stack([r[1] for r in results]),
-                                "image2": np.stack([r[2] for r in results]),
-                                "label2": np.stack([r[3] for r in results]),
-                            }
+                        x, y = self._finalize([r[0] for r in results],
+                                              [r[1] for r in results])
+                        batch = {"image": x, "label": y}
+                        if extra is not None:
+                            x2, y2 = self._finalize(
+                                [r[2] for r in results],
+                                [r[3] for r in results])
+                            batch["image2"] = x2
+                            batch["label2"] = y2
                         out_q.put(batch)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -166,7 +174,8 @@ class DefectDataset:
                 x, y = self._example(rng, stem, self._eval_aug, roots)
                 xs.append(x)
                 ys.append(y)
-            yield {"image": np.stack(xs), "label": np.stack(ys)}
+            imgs, labels = self._finalize(xs, ys)
+            yield {"image": imgs, "label": labels}
 
     def val_iter(self):
         return self._finite(self.splits["val"])

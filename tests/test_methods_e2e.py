@@ -194,3 +194,17 @@ class TestPlateauScheduler:
         for _ in range(3):               # 3 bad epochs > patience 2
             state = sched.step(state, 0.4)
         assert mbase.get_lr(state) == pytest.approx(lr0 * 0.1)
+
+
+class TestFusedBatch:
+    def test_fused_batch_step(self):
+        import dataclasses
+        cfg = tiny_cfg("uaps")
+        cfg.method = dataclasses.replace(cfg.method, fused_batch=True)
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        new_state, metrics = step(state, make_batch(cfg))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1

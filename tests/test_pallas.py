@@ -1,0 +1,72 @@
+"""Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uaps_tpu.pallas.pseudo_label import fused_pseudo_label, _reference_impl
+from uaps_tpu.pallas.perturb import fused_dropout
+
+
+class TestFusedPseudoLabel:
+    def test_matches_oracle(self, rng):
+        logits = jnp.asarray(
+            rng.standard_normal((4, 2, 16, 128, 4)).astype(np.float32) * 3)
+        w = jnp.asarray(np.asarray([0.4, 0.3, 0.2, 0.1], np.float32))
+        oracle = _reference_impl(logits, w)
+        kern = fused_pseudo_label(logits, w, force_pallas=True)
+        np.testing.assert_array_equal(np.asarray(kern), np.asarray(oracle))
+
+    def test_bf16_inputs(self, rng):
+        logits = jnp.asarray(
+            rng.standard_normal((2, 1, 8, 128, 3)).astype(np.float32) * 4
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(np.asarray([0.6, 0.4], np.float32))
+        oracle = _reference_impl(logits, w)
+        kern = fused_pseudo_label(logits, w, force_pallas=True)
+        # bf16: ties may differ at quantization boundaries; demand >=99.9%
+        agree = (np.asarray(kern) == np.asarray(oracle)).mean()
+        assert agree > 0.999
+
+    def test_no_gradient(self, rng):
+        logits = jnp.asarray(
+            rng.standard_normal((2, 1, 8, 128, 3)).astype(np.float32))
+        w = jnp.ones((2,)) / 2
+
+        def f(lg):
+            pl = fused_pseudo_label(lg, w)
+            return jnp.sum(pl.astype(jnp.float32))
+        g = jax.grad(f)(logits)
+        assert float(jnp.abs(g).max()) == 0.0
+
+
+class TestFusedDropout:
+    def test_distribution_and_scaling(self):
+        x = jnp.ones((64, 128))
+        out = np.asarray(fused_dropout(x, jnp.asarray(7, jnp.int32), 0.5))
+        zero_frac = (out == 0).mean()
+        assert abs(zero_frac - 0.5) < 0.05
+        nz = out[out != 0]
+        np.testing.assert_allclose(nz, 2.0, rtol=1e-6)
+
+    def test_backward_mask_matches_forward(self):
+        """The regenerated backward mask must equal the forward mask:
+        grad of sum(dropout(x)) is exactly mask/keep_prob."""
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (32, 128)).astype(np.float32))
+        seed = jnp.asarray(123, jnp.int32)
+        out, vjp = jax.vjp(lambda v: fused_dropout(v, seed, 0.5), x)
+        (gx,) = vjp(jnp.ones_like(out))
+        fwd_mask = np.asarray(out != 0)
+        bwd_mask = np.asarray(gx != 0)
+        np.testing.assert_array_equal(fwd_mask, bwd_mask)
+        np.testing.assert_allclose(np.asarray(gx)[fwd_mask], 2.0, rtol=1e-6)
+
+    def test_deterministic_given_seed(self):
+        x = jnp.ones((16, 128))
+        a = fused_dropout(x, jnp.asarray(5, jnp.int32), 0.3)
+        b = fused_dropout(x, jnp.asarray(5, jnp.int32), 0.3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = fused_dropout(x, jnp.asarray(6, jnp.int32), 0.3)
+        assert not np.array_equal(np.asarray(a), np.asarray(c))

@@ -63,15 +63,26 @@ def make_train_step(cfg, model, tx):
         new_key, d1, p1, d2, p2, mix_key = jax.random.split(state.key, 6)
 
         def loss_fn(params):
-            # labeled forward, then unlabeled forward continuing the same
-            # running-stat stream (two sequential forwards in the
-            # reference, :177,:185)
-            outs, bs1 = base.apply_train(
-                model, params, state.batch_stats, batch["image"],
-                rngs={"dropout": d1, "perturb": p1})
-            un_outs, bs2 = base.apply_train(
-                model, params, bs1, batch["uimage"],
-                rngs={"dropout": d2, "perturb": p2})
+            if mcfg.fused_batch:
+                # one fused forward over [labeled; unlabeled] — better MXU
+                # utilization, joint-batch BN stats (documented deviation)
+                nb = batch["image"].shape[0]
+                both = jnp.concatenate([batch["image"], batch["uimage"]], 0)
+                outs_all, bs2 = base.apply_train(
+                    model, params, state.batch_stats, both,
+                    rngs={"dropout": d1, "perturb": p1})
+                outs = [o[:nb] for o in outs_all]
+                un_outs = [o[nb:] for o in outs_all]
+            else:
+                # labeled forward, then unlabeled forward continuing the
+                # same running-stat stream (two sequential forwards in the
+                # reference, :177,:185)
+                outs, bs1 = base.apply_train(
+                    model, params, state.batch_stats, batch["image"],
+                    rngs={"dropout": d1, "perturb": p1})
+                un_outs, bs2 = base.apply_train(
+                    model, params, bs1, batch["uimage"],
+                    rngs={"dropout": d2, "perturb": p2})
 
             labels = batch["label"]
             # supervised: mean over decoders of 0.5(CE+Dice)

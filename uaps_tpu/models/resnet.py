@@ -190,10 +190,10 @@ def resize_align_corners(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
         return x
     wh = _align_corners_weights(h, oh).astype(x.dtype)
     ww = _align_corners_weights(w, ow).astype(x.dtype)
-    x = jnp.einsum("Hh,bhwc->bHwc", wh, x,
-                   precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("Ww,bHwc->bHWc", ww, x,
-                      precision=jax.lax.Precision.HIGHEST)
+    # see upsample2x_align_corners: HIGHEST only for fp32 parity
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    x = jnp.einsum("Hh,bhwc->bHwc", wh, x, precision=prec)
+    return jnp.einsum("Ww,bHwc->bHWc", ww, x, precision=prec)
 
 
 class FCNHead(nn.Module):

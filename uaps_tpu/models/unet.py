@@ -101,11 +101,14 @@ def upsample2x_align_corners(x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     wh = _align_corners_weights(h, 2 * h).astype(x.dtype)
     ww = _align_corners_weights(w, 2 * w).astype(x.dtype)
-    # HIGHEST precision: default matmul precision truncates the interp
-    # weights to bf16 mantissas, breaking parity with torch align_corners.
-    x = jnp.einsum("Hh,bhwc->bHwc", wh, x, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("Ww,bHwc->bHWc", ww, x,
-                      precision=jax.lax.Precision.HIGHEST)
+    # fp32: HIGHEST precision (default matmul precision truncates the
+    # interp weights to bf16 mantissas, breaking parity with torch
+    # align_corners). bf16 compute: default precision — HIGHEST would run
+    # the 6-pass fp32 MXU emulation and dominates the backward pass
+    # (measured 104ms vs 31ms for the 4-decoder grad).
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    x = jnp.einsum("Hh,bhwc->bHwc", wh, x, precision=prec)
+    return jnp.einsum("Ww,bHwc->bHWc", ww, x, precision=prec)
 
 
 class UpBlock(nn.Module):

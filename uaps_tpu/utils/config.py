@@ -66,6 +66,11 @@ class MethodConfig:
     # MTiles variant extras (MTiles UAPS_train.py:229-239,287)
     decoder_consistency_weight: float = 0.0
     unramped_uncertainty: bool = False
+    # TPU throughput option: run labeled+unlabeled through ONE forward
+    # (BatchNorm then normalizes over the joint batch — a documented
+    # deviation from the reference's two sequential forwards; off by
+    # default for parity).
+    fused_batch: bool = False
 
 
 @dataclasses.dataclass

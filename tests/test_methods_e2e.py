@@ -208,3 +208,42 @@ class TestFusedBatch:
         new_state, metrics = step(state, make_batch(cfg))
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+class TestSpatialSharding:
+    """The CP analog (SURVEY §5.7): image-H sharding with GSPMD halo
+    exchange; must be bit-compatible with the unsharded forward and the
+    train step must match across mesh shapes."""
+
+    def test_forward_equivalence(self, devices):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from uaps_tpu.models import net_factory
+        m = net_factory("unet", class_num=4)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 64, 64, 3)), jnp.float32)
+        v = m.init({"params": jax.random.key(0),
+                    "dropout": jax.random.key(1),
+                    "perturb": jax.random.key(2)}, x, train=False)
+        f = jax.jit(lambda vv, xx: m.apply(vv, xx, train=False))
+        ref = np.asarray(f(v, x))
+        mesh = make_mesh(4, spatial=4)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+        vs = replicate_state(v, mesh)
+        np.testing.assert_allclose(np.asarray(f(vs, xs)), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_train_step_dp_x_sp(self, devices):
+        cfg = tiny_cfg("uaps")
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = jax.jit(method.make_train_step(cfg, model, tx))
+        batch = make_batch(cfg)
+        mesh1 = make_mesh(1)
+        _, m1 = step(replicate_state(state, mesh1),
+                     shard_batch(batch, mesh1))
+        mesh2 = make_mesh(8, spatial=4)
+        _, m2 = step(replicate_state(state, mesh2),
+                     shard_batch(batch, mesh2))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=5e-3)

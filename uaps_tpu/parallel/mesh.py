@@ -30,17 +30,32 @@ def distributed_init():
 
 
 def make_mesh(num_devices: Optional[int] = None,
-              devices: Optional[Any] = None) -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices."""
+              devices: Optional[Any] = None, spatial: int = 1) -> Mesh:
+    """Device mesh: 1-D ('data',) by default, or 2-D ('data', 'spatial')
+    when spatial > 1.
+
+    The spatial axis shards the image H dimension; XLA GSPMD inserts the
+    conv halo exchanges automatically, making it the sequence/context-
+    parallel analog for conv segmentation (SURVEY.md §5.7) — used when a
+    single image's activations exceed one chip's HBM.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), axis_names=("data",))
+    devices = np.asarray(devices)
+    if spatial > 1:
+        assert devices.size % spatial == 0, (devices.size, spatial)
+        return Mesh(devices.reshape(devices.size // spatial, spatial),
+                    axis_names=("data", "spatial"))
+    return Mesh(devices, axis_names=("data",))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding for input arrays."""
+    """Input-array sharding: batch over 'data', image H over 'spatial'
+    (when the mesh has one)."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P("data"))
 
 

@@ -20,6 +20,22 @@ from uaps_tpu.ops.losses import (
     feature_sim_loss,
     dice_loss_per_class,
 )
+from uaps_tpu.ops.losses_binary import (
+    binary_focal_loss,
+    iou_score,
+    f_score,
+    jaccard_loss_sigmoid,
+    dice_loss_sigmoid,
+    bce_jaccard_loss,
+    bce_dice_loss,
+    super_loss,
+    kl_loss,
+)
+from uaps_tpu.ops.cutmix import (
+    cutout_mask,
+    generate_mix_data,
+    generate_crossmix_data,
+)
 from uaps_tpu.ops.ramps import sigmoid_rampup, linear_rampup, cosine_rampdown
 from uaps_tpu.ops.metrics import (
     pixel_accuracy,

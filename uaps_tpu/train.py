@@ -38,8 +38,14 @@ def make_data(cfg: Config, seed: int = 0):
     if cfg.data.name == "synthetic":
         from uaps_tpu.data.synthetic import SyntheticDefects
         return SyntheticDefects(cfg.data, seed=seed)
+    import dataclasses
     from uaps_tpu.data.pipeline import DefectDataset
-    return DefectDataset(cfg.data, seed=seed)
+    data_cfg = cfg.data
+    if cfg.method.name == "ucc" and data_cfg.name == "neu":
+        # UCC has its own NEU pipeline with weak/strong streams
+        # (UCC/UCC_dataloaders.py); same files, different aug recipe
+        data_cfg = dataclasses.replace(data_cfg, name="ucc_neu")
+    return DefectDataset(data_cfg, seed=seed)
 
 
 def _train_stream(data, method_name: str) -> Iterator[Dict]:
@@ -149,6 +155,16 @@ class Trainer:
             means["imgs_per_sec"] = imgs / dt
             means["lr"] = method_base.get_lr(self.state)
 
+            if cfg.run.halt_on_nan and not np.isfinite(
+                    means.get("loss", 0.0)):
+                # failure detection (SURVEY §5.3): a NaN epoch means the
+                # run is lost from here — stop with state intact rather
+                # than silently training garbage.
+                self.ckpt.wait()
+                raise FloatingPointError(
+                    f"non-finite loss {means['loss']} at epoch {epoch}; "
+                    f"last good checkpoint: step {self.ckpt.latest_step()}")
+
             val = self.validate()
             self.state = self.scheduler.step(self.state, val["val_mdice"])
 
@@ -173,6 +189,15 @@ class Trainer:
                         "sched_bad": self.scheduler.bad_epochs,
                         "config_method": cfg.method.name,
                     },
+                    metrics=val)
+            elif cfg.run.save_every and epoch % cfg.run.save_every == 0:
+                # periodic latest-state checkpoint for preemption safety
+                self.ckpt.save(
+                    int(jax.device_get(self.state.step)),
+                    jax.device_get(self.state),
+                    host_state={"epoch": epoch, "best_dice": self.best_dice,
+                                "sched_best": self.scheduler.best,
+                                "sched_bad": self.scheduler.bad_epochs},
                     metrics=val)
             else:
                 self.patience += 1

@@ -94,6 +94,8 @@ class RunConfig:
     out_dir: str = "runs/default"
     keep_checkpoints: int = 2
     log_every: int = 20
+    save_every: int = 0      # also checkpoint latest state every N epochs
+    halt_on_nan: bool = True  # failure detection: stop on non-finite loss
     debug_nans: bool = False
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)
 

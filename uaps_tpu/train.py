@@ -57,6 +57,8 @@ def _train_stream(data, method_name: str) -> Iterator[Dict]:
 class Trainer:
     def __init__(self, cfg: Config, num_devices: Optional[int] = None):
         self.cfg = cfg
+        if cfg.run.prng_impl != "threefry2x32":
+            jax.config.update("jax_default_prng_impl", cfg.run.prng_impl)
         self.mesh = make_mesh(num_devices)
         self.logger = get_logger(cfg.run.out_dir)
         self.writer = MetricWriter(cfg.run.out_dir)
@@ -232,6 +234,8 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--prng_impl", default=None,
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"])
     args, _ = p.parse_known_args(argv)
 
     if args.preset == "synthetic":
@@ -260,7 +264,7 @@ def parse_args(argv=None) -> Config:
         optim=rep(cfg.optim, base_lr=args.base_lr),
         run=rep(cfg.run, epochs=args.epochs,
                 iter_per_epoch=args.iter_per_epoch, seed=args.seed,
-                out_dir=args.out_dir,
+                out_dir=args.out_dir, prng_impl=args.prng_impl,
                 debug_nans=args.debug_nans or None),
     )
     return cfg, args

@@ -95,6 +95,11 @@ class RunConfig:
     keep_checkpoints: int = 2
     log_every: int = 20
     save_every: int = 0      # also checkpoint latest state every N epochs
+    # PRNG implementation: 'threefry2x32' (jax default, bit-stable) or
+    # 'rbg' (hardware RNG path, much faster on TPU for the dropout/
+    # perturbation-heavy UAPS step; streams differ from threefry but the
+    # distributions are identical)
+    prng_impl: str = "threefry2x32"
     halt_on_nan: bool = True  # failure detection: stop on non-finite loss
     debug_nans: bool = False
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)

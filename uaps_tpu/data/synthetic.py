@@ -93,13 +93,31 @@ class SyntheticDefects:
     with steps-per-epoch, which this implements for the synthetic case.
     """
 
-    def __init__(self, cfg, seed: int = 0):
+    def __init__(self, cfg, seed: int = 0, labeled_pool: int = 0):
+        """labeled_pool > 0 fixes the labeled stream to that many
+        pre-generated images (sampled with replacement), emulating the
+        low-label SSL regime: the unlabeled stream stays infinite/fresh,
+        so semi-supervised methods can demonstrably beat the supervised
+        baseline on held-out data."""
         self.cfg = cfg
         self.seed = seed
+        self.labeled_pool = labeled_pool
+        self._pool = None
+        if labeled_pool > 0:
+            rng = np.random.default_rng(seed + 7)
+            d = cfg
+            pool = synthetic_batch(rng, labeled_pool, d.image_size,
+                                   d.num_classes, d.in_channels)
+            self._pool = pool
 
     def _stream(self, salt: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed + salt)
         d = self.cfg
+        if salt == 1 and self._pool is not None:
+            while True:
+                idx = rng.integers(0, self.labeled_pool, d.batch_size)
+                yield {"image": self._pool["image"][idx],
+                       "label": self._pool["label"][idx]}
         while True:
             yield synthetic_batch(
                 rng, d.batch_size, d.image_size, d.num_classes,

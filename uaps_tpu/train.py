@@ -59,7 +59,12 @@ class Trainer:
         self.cfg = cfg
         if cfg.run.prng_impl != "threefry2x32":
             jax.config.update("jax_default_prng_impl", cfg.run.prng_impl)
-        self.mesh = make_mesh(num_devices)
+        # the data axis must divide the batch; cap the mesh at the largest
+        # divisor of batch_size within the available device count
+        avail = num_devices or len(jax.devices())
+        n = max(d for d in range(1, avail + 1)
+                if cfg.data.batch_size % d == 0)
+        self.mesh = make_mesh(n)
         self.logger = get_logger(cfg.run.out_dir)
         self.writer = MetricWriter(cfg.run.out_dir)
         self.method = get_method(cfg.method.name)
@@ -111,7 +116,12 @@ class Trainer:
             # MT_train.py:352 uses self.model, the student)
             pass
         for batch in self.data.val_iter():
-            m = self.eval_step(params, bstats, shard_batch(batch, self.mesh))
+            # remainder val batches (real data, drop_last=False semantics
+            # like the reference) may not divide the mesh; run them
+            # replicated (one extra compile for that shape)
+            if batch["image"].shape[0] % self.mesh.devices.size == 0:
+                batch = shard_batch(batch, self.mesh)
+            m = self.eval_step(params, bstats, batch)
             m = jax.device_get(m)
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)

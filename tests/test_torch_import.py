@@ -93,3 +93,42 @@ class TestForwardParity:
             jnp.asarray(rng_input), train=False, method=ours.main_only))
         np.testing.assert_allclose(
             mine, theirs.transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4)
+
+
+class TestExport:
+    def test_roundtrip_via_torch(self, rng_input):
+        """ours -> torch state_dict -> reference model forward == ours."""
+        from utilities.UAPS_unet import UNet_UAPS
+        from uaps_tpu.utils.torch_import import export_state_dict
+        ours = net_factory("unet_uaps", class_num=4)
+        variables = _init_flax(ours, jnp.asarray(rng_input))
+        sd = export_state_dict(variables["params"],
+                               variables["batch_stats"])
+        tm = UNet_UAPS(3, 4)
+        missing, unexpected = tm.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in sd.items()}, strict=False)
+        assert not unexpected
+        # only num_batches_tracked-style buffers may be missing
+        assert all("num_batches_tracked" in m for m in missing)
+        tm.eval()
+        with torch.no_grad():
+            feats = tm.encoder(_to_nchw(rng_input))
+            theirs = tm.main_decoder(feats).numpy().transpose(0, 2, 3, 1)
+        mine = np.asarray(ours.apply(
+            variables, jnp.asarray(rng_input), train=False,
+            method=ours.main_only))
+        np.testing.assert_allclose(mine, theirs, rtol=1e-3, atol=1e-4)
+
+    def test_save_pth_loadable(self, tmp_path, rng_input):
+        from uaps_tpu.utils.torch_import import save_pth, load_pth
+        ours = net_factory("unet", class_num=4)
+        variables = _init_flax(ours, jnp.asarray(rng_input))
+        path = str(tmp_path / "export.pth")
+        save_pth(path, variables["params"], variables["batch_stats"],
+                 extra={"epoch": 5})
+        params, stats = load_pth(path, variables["params"],
+                                 variables["batch_stats"])
+        for a, b in zip(jax.tree.leaves(variables["params"]),
+                        jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6)

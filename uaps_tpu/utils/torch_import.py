@@ -118,6 +118,57 @@ def convert_state_dict(state_dict: Dict, flax_params,
     return params, stats
 
 
+def export_state_dict(flax_params, flax_batch_stats) -> Dict:
+    """Inverse of convert_state_dict: our trees -> a torch-named
+    state_dict (numpy values) loadable by the reference models, so
+    TPU-trained weights evaluate in the original PyTorch notebooks."""
+    name_map = _model_map(flax_params)
+    out: Dict[str, np.ndarray] = {}
+
+    def conv_kernel(t):  # HWIO -> OIHW
+        return np.transpose(np.asarray(t), (3, 2, 0, 1)).copy()
+
+    def walk_params(sub_map, sub_params):
+        for k, v in sub_params.items():
+            entry = sub_map[k]
+            if isinstance(v, dict) and "kernel" in v:       # Conv
+                out[f"{entry}.weight"] = conv_kernel(v["kernel"])
+                out[f"{entry}.bias"] = np.asarray(v["bias"])
+            elif isinstance(v, dict) and "scale" in v:      # BatchNorm
+                out[f"{entry}.weight"] = np.asarray(v["scale"])
+                out[f"{entry}.bias"] = np.asarray(v["bias"])
+            else:
+                walk_params(entry, v)
+
+    def walk_stats(sub_map, sub_stats):
+        for k, v in sub_stats.items():
+            entry = sub_map[k]
+            if isinstance(v, dict) and "mean" in v:
+                out[f"{entry}.running_mean"] = np.asarray(v["mean"])
+                out[f"{entry}.running_var"] = np.asarray(v["var"])
+                out[f"{entry}.num_batches_tracked"] = np.asarray(
+                    0, np.int64)
+            else:
+                walk_stats(entry, v)
+
+    for k, v in flax_params.items():
+        walk_params(name_map[k], v)
+    for k, v in flax_batch_stats.items():
+        walk_stats(name_map[k], v)
+    return out
+
+
+def save_pth(path: str, flax_params, flax_batch_stats, extra=None):
+    """Write a torch-loadable checkpoint of our weights."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(flax_params, flax_batch_stats).items()}
+    blob = {"state_dict": sd}
+    if extra:
+        blob.update(extra)
+    torch.save(blob, path)
+
+
 def load_pth(path: str, flax_params, flax_batch_stats):
     """Load a reference checkpoint file. Accepts both raw state_dicts and
     the reference's training dicts ({'state_dict': ..., 'optimizer': ...},

@@ -48,10 +48,27 @@ def make_data(cfg: Config, seed: int = 0):
     return DefectDataset(data_cfg, seed=seed)
 
 
+def _prefetch(it: Iterator, size: int = 4) -> Iterator:
+    """Run an iterator in a daemon thread with a bounded queue so host
+    batch construction overlaps device steps (the synthetic generator and
+    any non-threaded source would otherwise serialize with the TPU)."""
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+
+    def worker():
+        for item in it:
+            q.put(item)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        yield q.get()
+
+
 def _train_stream(data, method_name: str) -> Iterator[Dict]:
     if method_name == "ucc":
-        return data.train_iter_weak_strong()
-    return data.train_iter()
+        return _prefetch(data.train_iter_weak_strong())
+    return _prefetch(data.train_iter())
 
 
 class Trainer:

@@ -16,12 +16,21 @@ from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
+_GRID_CACHE = {}
+
+
+def _grid(h: int, w: int):
+    """Cached coordinate grids (the mgrid was ~30% of generation time)."""
+    if (h, w) not in _GRID_CACHE:
+        _GRID_CACHE[(h, w)] = np.mgrid[0:h, 0:w].astype(np.float32)
+    return _GRID_CACHE[(h, w)]
+
 
 def _defect_mask(rng: np.random.Generator, h: int, w: int,
                  num_classes: int, max_blobs: int = 4) -> np.ndarray:
     """Label map with 1..max_blobs elliptical blobs of classes 1..C-1."""
     mask = np.zeros((h, w), np.int32)
-    yy, xx = np.mgrid[0:h, 0:w]
+    yy, xx = _grid(h, w)
     for _ in range(rng.integers(1, max_blobs + 1)):
         c = int(rng.integers(1, num_classes))
         cy, cx = rng.uniform(0.15, 0.85) * h, rng.uniform(0.15, 0.85) * w
@@ -52,8 +61,7 @@ def _render(rng: np.random.Generator, mask: np.ndarray,
             continue
         # class signature: shifted mean + class-dependent stripe pattern
         shift = 0.25 + 0.15 * c
-        stripes = 0.08 * np.sin(
-            (np.mgrid[0:h, 0:w][c % 2]) * (0.5 + 0.35 * c))
+        stripes = 0.08 * np.sin(_grid(h, w)[c % 2] * (0.5 + 0.35 * c))
         img = np.where(sel, base - 0.5 + shift + stripes, img)
     img = np.clip(img + rng.normal(0, 0.03, (h, w)), 0, 1)
     chans = [img]
@@ -73,11 +81,20 @@ def synthetic_batch(
     std: Optional[Tuple[float, ...]] = None,
 ) -> Dict[str, np.ndarray]:
     h, w = image_size
-    imgs, masks = [], []
-    for _ in range(batch_size):
-        m = _defect_mask(rng, h, w, num_classes)
-        imgs.append(_render(rng, m, in_channels))
-        masks.append(m)
+    # per-image generation in a thread pool (numpy releases the GIL for
+    # the large-array ops); child rngs keep determinism
+    from concurrent.futures import ThreadPoolExecutor
+    seeds = rng.integers(0, 2 ** 63, size=batch_size)
+
+    def gen(s):
+        r = np.random.default_rng(int(s))
+        m = _defect_mask(r, h, w, num_classes)
+        return _render(r, m, in_channels), m
+
+    with ThreadPoolExecutor(min(8, batch_size)) as pool:
+        results = list(pool.map(gen, seeds))
+    imgs = [r[0] for r in results]
+    masks = [r[1] for r in results]
     image = np.stack(imgs)
     if mean is not None:
         image = (image - np.asarray(mean, np.float32)) / np.asarray(

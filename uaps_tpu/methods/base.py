@@ -69,6 +69,10 @@ class PlateauScheduler:
     stepped once per validation epoch on val mDice
     (UAPS_train.py:113,402)."""
 
+    # torch default improvement threshold: rel 1e-4 (mode='max' =>
+    # metric > best * (1 + threshold) counts as improvement)
+    THRESHOLD = 1e-4
+
     def __init__(self, optim_cfg):
         self.factor = optim_cfg.plateau_factor
         self.patience = optim_cfg.plateau_patience
@@ -77,7 +81,8 @@ class PlateauScheduler:
         self.bad_epochs = 0
 
     def step(self, state: TrainState, metric: float) -> TrainState:
-        if metric > self.best:
+        if metric > self.best * (1.0 + self.THRESHOLD) or \
+                self.best == -float("inf"):
             self.best = metric
             self.bad_epochs = 0
             return state

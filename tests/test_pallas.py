@@ -70,3 +70,48 @@ class TestFusedDropout:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         c = fused_dropout(x, jnp.asarray(6, jnp.int32), 0.3)
         assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestConv3x3Kernels:
+    def _data(self, rng, b=2, h=16, w=128, cin=16, cout=8):
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        return x, k
+
+    def test_nhwc_kernel_matches_xla(self, rng):
+        from uaps_tpu.pallas.conv3x3 import (conv3x3_forward,
+                                             reference_conv3x3)
+        x, k = self._data(rng)
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_forward(x, k, interpret=True)),
+            np.asarray(reference_conv3x3(x, k)), rtol=1e-4, atol=1e-5)
+
+    def test_nchw_kernel_matches_xla(self, rng):
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
+        from uaps_tpu.pallas.conv3x3 import reference_conv3x3
+        x, k = self._data(rng)
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_fast(x, k, True)),
+            np.asarray(reference_conv3x3(x, k)), rtol=1e-4, atol=1e-5)
+
+    def test_nchw_gradients_match_xla(self, rng):
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
+        from uaps_tpu.pallas.conv3x3 import reference_conv3x3
+        x, k = self._data(rng)
+        gk = jax.grad(lambda x, w: jnp.sum(conv3x3_fast(x, w, True) ** 2),
+                      (0, 1))(x, k)
+        gr = jax.grad(lambda x, w: jnp.sum(reference_conv3x3(x, w) ** 2),
+                      (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_odd_channel_counts(self, rng):
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
+        from uaps_tpu.pallas.conv3x3 import reference_conv3x3
+        x, k = self._data(rng, cin=3, cout=16)  # the in_conv shape
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_fast(x, k, True)),
+            np.asarray(reference_conv3x3(x, k)), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,157 @@
+"""Channels-in-sublanes 3x3 conv kernel (the small-channel fast path).
+
+The NHWC implicit-GEMM kernel (conv3x3.py) is bound by VMEM channel
+padding: with C=16 in the lane dimension every copy pays 128/16 = 8x. This
+variant keeps SPATIAL dims in the (sublane, lane) tile — [C, H, W] blocks
+— so buffers are unpadded, and contracts channels with nine tiny
+[Co, C] x [C, slab*W] MXU matmuls (N = slab*W fills all 128 lanes; the
+C=16 contraction is the only short dimension).
+
+API: conv3x3_nchw(x_nchw [B, C, H, W], w [3, 3, Cin, Cout]) ->
+[B, Cout, H, W]. `conv3x3_fast` wraps it NHWC-to-NHWC with boundary
+transposes and a custom VJP (dgrad = same kernel with flipped/IO-swapped
+weights; wgrad = accumulating kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_slab(h: int) -> int:
+    for s in (32, 16, 8):
+        if h % s == 0:
+            return s
+    return h
+
+
+# Mosaic requires the block's last two dims divisible by (8, 128) or equal
+# to the array dims: H-halo blocks are slab+8 rows (true halo needs slab+2;
+# rows are loaded at offset si*slab into an H+8-padded array, so the valid
+# window starts at block-relative row 3), and the W dim is carried at full
+# padded width.
+_HOFF = 3  # block-relative row of true row si*slab - 1
+
+
+def _fwd_kernel(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, C, slab+8, W+2], w_ref [9, Cin, Cout],
+    o_ref [1, Co, slab, W]."""
+    x = x_ref[0]
+    acc = jnp.zeros((cout, slab * width), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab, dw:dw + width]
+            xr = xs.reshape(cin, slab * width)
+            k = w_ref[dh * 3 + dw]                        # [Cin, Cout]
+            acc = acc + jax.lax.dot_general(
+                k, xr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [Co, slab*W]
+    o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
+
+
+def conv3x3_nchw(x: jax.Array, w: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
+    (SAME, stride 1)."""
+    b, cin, h, width = x.shape
+    cout = w.shape[-1]
+    slab = _pick_slab(h)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    wp = w.reshape(9, cin, cout).astype(x.dtype)
+    kernel = functools.partial(_fwd_kernel, slab=slab, width=width,
+                               cin=cin, cout=cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // slab),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(cin),
+                          pl.Element(slab + 8), pl.Element(width + 2)),
+                         lambda bi, si: (bi, 0, si * slab, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cout, slab, width),
+                               lambda bi, si: (bi, 0, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, cout, h, width), x.dtype),
+        interpret=interpret,
+    )(xp, wp)
+
+
+def _wgrad_kernel(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, Cin, slab+8, W+2], g_ref [1, Co, slab, W],
+    o_ref [9, Cin, Cout] accumulated over the sequential grid."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    g = g_ref[0].reshape(cout, slab * width)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab,
+                   dw:dw + width].reshape(cin, slab * width)
+            # dW[tap, ci, co] = sum_n xs[ci, n] g[co, n]
+            o_ref[dh * 3 + dw] += jax.lax.dot_general(
+                xs, g, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
+    b, cin, h, width = x.shape
+    cout = g.shape[1]
+    slab = _pick_slab(h)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    kernel = functools.partial(_wgrad_kernel, slab=slab, width=width,
+                               cin=cin, cout=cout)
+    flat = pl.pallas_call(
+        kernel,
+        grid=(b, h // slab),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(cin),
+                          pl.Element(slab + 8), pl.Element(width + 2)),
+                         lambda bi, si: (bi, 0, si * slab, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, slab, width),
+                         lambda bi, si: (bi, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9, cin, cout), lambda bi, si: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        interpret=interpret,
+    )(xp, g)
+    return flat.reshape(3, 3, cin, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_fast(x: jax.Array, w: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """NHWC-facing differentiable conv using the NCHW kernel."""
+    xc = jnp.transpose(x, (0, 3, 1, 2))
+    out = conv3x3_nchw(xc, w, interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _vjp_fwd(x, w, interpret):
+    return conv3x3_fast(x, w, interpret), (x, w)
+
+
+def _vjp_bwd(interpret, res, g):
+    x, w = res
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv3x3_fast(g.astype(x.dtype), w_rot, interpret)
+    xc = jnp.transpose(x, (0, 3, 1, 2))
+    gc = jnp.transpose(g, (0, 3, 1, 2))
+    dw = conv3x3_nchw_wgrad(xc, gc, interpret).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3_fast.defvjp(_vjp_fwd, _vjp_bwd)

@@ -35,6 +35,16 @@ UNET_DROPOUT: Tuple[float, ...] = (0.05, 0.1, 0.2, 0.3, 0.5)
 
 Dtype = Any
 
+# Trace-time switch for the Pallas conv fast path. pallas_call does not
+# partition under GSPMD (it runs replicated, defeating data parallelism),
+# so the Trainer disables it when the mesh has >1 device; running the step
+# under shard_map would re-enable it multi-chip (future work, PERF.md).
+PALLAS_CONV = {"enabled": True}
+
+
+def set_pallas_conv(enabled: bool):
+    PALLAS_CONV["enabled"] = bool(enabled)
+
 
 class Conv3x3(nn.Module):
     """3x3 SAME conv, param-compatible with nn.Conv, that dispatches to
@@ -59,7 +69,8 @@ class Conv3x3(nn.Module):
         x = x.astype(self.dtype)
         h, w = x.shape[1:3]
         use_pallas = (
-            jax.devices()[0].platform == "tpu"
+            PALLAS_CONV["enabled"]
+            and jax.devices()[0].platform == "tpu"
             and h >= 128 and w >= 128 and h % 8 == 0 and w % 128 == 0
             and self.features <= 32 and cin <= 64
         )

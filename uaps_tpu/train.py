@@ -82,6 +82,11 @@ class Trainer:
         n = max(d for d in range(1, avail + 1)
                 if cfg.data.batch_size % d == 0)
         self.mesh = make_mesh(n)
+        if self.mesh.devices.size > 1:
+            # pallas convs run replicated under GSPMD; keep multi-chip DP
+            # correct and scalable by using XLA convs there (see PERF.md)
+            from uaps_tpu.models.unet import set_pallas_conv
+            set_pallas_conv(False)
         self.logger = get_logger(cfg.run.out_dir)
         self.writer = MetricWriter(cfg.run.out_dir)
         self.method = get_method(cfg.method.name)

@@ -270,3 +270,36 @@ class TestInferenceEngine:
         umaps = engine.uncertainty(imgs)
         assert umaps.shape == (6, 32, 32)
         assert float(umaps.min()) >= -1e-5
+
+
+class TestShardMapMode:
+    def test_matches_gspmd_closely(self, devices):
+        from uaps_tpu.parallel.shardmap_step import make_sharded_train_step
+        cfg = tiny_cfg("uaps")
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        batch = make_batch(cfg)
+        step1 = jax.jit(method.make_train_step(cfg, model, tx))
+        _, m1 = step1(state, batch)
+        mesh = make_mesh(8)
+        stepN = make_sharded_train_step(method, cfg, model, tx, mesh)
+        sN, mN = stepN(replicate_state(state, mesh),
+                       shard_batch(batch, mesh))
+        # per-device BN + decorrelated noise -> approximate agreement
+        np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
+                                   rtol=2e-2)
+        assert int(jax.device_get(sN.step)) == 1
+
+    @pytest.mark.parametrize("method_name", ["baseline", "mt", "cps"])
+    def test_other_methods_shard_map(self, devices, method_name):
+        from uaps_tpu.parallel.shardmap_step import make_sharded_train_step
+        cfg = tiny_cfg(method_name)
+        method = get_method(method_name)
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        mesh = make_mesh(8)
+        stepN = make_sharded_train_step(method, cfg, model, tx, mesh)
+        _, m = stepN(replicate_state(state, mesh),
+                     shard_batch(make_batch(cfg), mesh))
+        assert np.isfinite(float(m["loss"])), method_name

@@ -172,6 +172,23 @@ def make_eval_step(cfg, model) -> Callable:
     return eval_step
 
 
+def device_keys(keys, axis_name):
+    """Decorrelate per-device randomness under shard_map: fold the data-
+    axis index into each USE key (the carried state.key stays device-
+    independent so state remains replicated)."""
+    if axis_name is None:
+        return keys
+    idx = jax.lax.axis_index(axis_name)
+    return tuple(jax.random.fold_in(k, idx) for k in keys)
+
+
+def pmean_if(tree, axis_name):
+    """pmean a pytree when running under a mapped axis (else identity)."""
+    if axis_name is None:
+        return tree
+    return jax.lax.pmean(tree, axis_name)
+
+
 def ramp_weight(cmax: float, step: Array, ramp_iters: int,
                 rampup_length: float) -> Array:
     """consistency * sigmoid_rampup(step // ramp_iters, rampup)

@@ -21,12 +21,13 @@ def init_state(cfg, rng) -> Tuple[base.TrainState, object]:
     return base.init_model_state(cfg, model, rng, tx), model
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     n_classes = cfg.data.num_classes
 
     def train_step(state: base.TrainState,
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         new_key, d_key = jax.random.split(state.key)
+        (d_key,) = base.device_keys((d_key,), axis_name)
 
         def loss_fn(params):
             logits, new_bs = base.apply_train(
@@ -38,13 +39,16 @@ def make_train_step(cfg, model, tx):
 
         (loss, (logits, new_bs, ce, dice)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        grads = base.pmean_if(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         m = segmentation_metrics(logits, batch["label"], n_classes)
         metrics = {"loss": loss, "ce_loss": ce, "dice_loss": dice,
                    "train_miou": m["miou"], "train_mdice": m["mdice"]}
+        metrics = base.pmean_if(metrics, axis_name)
         return state.replace(step=state.step + 1, params=new_params,
-                             batch_stats=new_bs, opt_state=new_opt,
+                             batch_stats=base.pmean_if(new_bs, axis_name),
+                             opt_state=new_opt,
                              key=new_key), metrics
 
     return train_step

@@ -26,13 +26,14 @@ def init_state(cfg, rng) -> Tuple[base.TrainState, object]:
     return base.init_model_state(cfg, model, rng, tx), model
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     mcfg = cfg.method
     n_classes = cfg.data.num_classes
 
     def train_step(state: base.TrainState,
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         new_key, d1, p1, d2, p2 = jax.random.split(state.key, 5)
+        d1, p1, d2, p2 = base.device_keys((d1, p1, d2, p2), axis_name)
 
         def loss_fn(params):
             outs, bs1 = base.apply_train(
@@ -56,14 +57,17 @@ def make_train_step(cfg, model, tx):
 
         (loss, (logits, new_bs, ce, dice, cons, w)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = base.pmean_if(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         m = segmentation_metrics(logits, batch["label"], n_classes)
         metrics = {"loss": loss, "ce_loss": ce, "dice_loss": dice,
                    "consistency_loss": cons, "consistency_w1": w,
                    "train_miou": m["miou"], "train_mdice": m["mdice"]}
+        metrics = base.pmean_if(metrics, axis_name)
         return state.replace(step=state.step + 1, params=new_params,
-                             batch_stats=new_bs, opt_state=new_opt,
+                             batch_stats=base.pmean_if(new_bs, axis_name),
+                             opt_state=new_opt,
                              key=new_key), metrics
 
     return train_step

@@ -42,7 +42,7 @@ def _ps_pair(logits_a, pseudo_b):
         + 0.5 * softmax_dice_loss(logits_a, pseudo_b)
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     mcfg = cfg.method
     n_classes = cfg.data.num_classes
 
@@ -55,6 +55,8 @@ def make_train_step(cfg, model, tx):
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         s2 = state.second
         new_key, d1a, d1b, d2a, d2b = jax.random.split(state.key, 5)
+        d1a, d1b, d2a, d2b = base.device_keys((d1a, d1b, d2a, d2b),
+                                              axis_name)
 
         def loss_fn(params1, params2):
             o1, bs1a = forward(params1, state.batch_stats,
@@ -86,6 +88,8 @@ def make_train_step(cfg, model, tx):
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, s2.params)
         g1, g2 = grads
+        g1 = base.pmean_if(g1, axis_name)
+        g2 = base.pmean_if(g2, axis_name)
         up1, opt1 = tx.update(g1, state.opt_state, state.params)
         new_p1 = jax.tree.map(lambda p, u: p + u, state.params, up1)
         up2, opt2 = tx.update(g2, s2.opt_state, s2.params)
@@ -96,10 +100,13 @@ def make_train_step(cfg, model, tx):
                    "labeled_cps_loss": lcps, "unlabeled_cps_loss": ucps,
                    "consistency_w1": w,
                    "train_miou": m["miou"], "train_mdice": m["mdice"]}
+        metrics = base.pmean_if(metrics, axis_name)
         new_s2 = s2.replace(step=s2.step + 1, params=new_p2,
-                            batch_stats=bs2, opt_state=opt2)
+                            batch_stats=base.pmean_if(bs2, axis_name),
+                            opt_state=opt2)
         return state.replace(step=state.step + 1, params=new_p1,
-                             batch_stats=bs1, opt_state=opt1,
+                             batch_stats=base.pmean_if(bs1, axis_name),
+                             opt_state=opt1,
                              key=new_key, second=new_s2), metrics
 
     return train_step

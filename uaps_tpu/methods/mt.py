@@ -49,13 +49,15 @@ def teacher_noise(key, x):
         jax.random.normal(key, x.shape, x.dtype) * 0.1, -0.2, 0.2)
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     mcfg = cfg.method
     n_classes = cfg.data.num_classes
 
     def train_step(state: base.TrainState,
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         new_key, d1, d2, n_key, dt_key = jax.random.split(state.key, 5)
+        d1, d2, n_key, dt_key = base.device_keys(
+            (d1, d2, n_key, dt_key), axis_name)
 
         # teacher forward (no grad path; its own stats stream)
         ema_in = teacher_noise(n_key, batch["uimage"])
@@ -84,6 +86,7 @@ def make_train_step(cfg, model, tx):
 
         (loss, (logits, new_bs, ce, dice, cons, w)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = base.pmean_if(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_ema = ema_update(new_params, state.ema_params, mcfg.ema_decay,
@@ -92,9 +95,11 @@ def make_train_step(cfg, model, tx):
         metrics = {"loss": loss, "ce_loss": ce, "dice_loss": dice,
                    "consistency_loss": cons, "consistency_w1": w,
                    "train_miou": m["miou"], "train_mdice": m["mdice"]}
+        metrics = base.pmean_if(metrics, axis_name)
         return state.replace(
-            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            step=state.step + 1, params=new_params,
+            batch_stats=base.pmean_if(new_bs, axis_name),
             opt_state=new_opt, key=new_key, ema_params=new_ema,
-            ema_batch_stats=new_ema_bs), metrics
+            ema_batch_stats=base.pmean_if(new_ema_bs, axis_name)), metrics
 
     return train_step

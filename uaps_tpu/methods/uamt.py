@@ -24,7 +24,7 @@ from uaps_tpu.methods.mt import init_state, ema_update, teacher_noise  # noqa: F
 from uaps_tpu.ops import segmentation_metrics
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     mcfg = cfg.method
     n_classes = cfg.data.num_classes
     T = mcfg.uamt_num_samples
@@ -33,6 +33,8 @@ def make_train_step(cfg, model, tx):
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         new_key, d1, d2, n_key, t_noise, t_drop = jax.random.split(
             state.key, 6)
+        d1, d2, n_key, t_noise, t_drop = base.device_keys(
+            (d1, d2, n_key, t_noise, t_drop), axis_name)
         uimage = batch["uimage"]
         b = uimage.shape[0]
 
@@ -75,6 +77,7 @@ def make_train_step(cfg, model, tx):
 
         (loss, (logits, new_bs, ce, dice, cons, w)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = base.pmean_if(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_ema = ema_update(new_params, state.ema_params, mcfg.ema_decay,
@@ -84,9 +87,11 @@ def make_train_step(cfg, model, tx):
                    "consistency_loss": cons, "consistency_w1": w,
                    "mean_uncertainty": jnp.mean(uncertainty),
                    "train_miou": m["miou"], "train_mdice": m["mdice"]}
+        metrics = base.pmean_if(metrics, axis_name)
         return state.replace(
-            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            step=state.step + 1, params=new_params,
+            batch_stats=base.pmean_if(new_bs, axis_name),
             opt_state=new_opt, key=new_key, ema_params=new_ema,
-            ema_batch_stats=new_ema_bs), metrics
+            ema_batch_stats=base.pmean_if(new_ema_bs, axis_name)), metrics
 
     return train_step

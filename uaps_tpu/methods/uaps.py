@@ -53,7 +53,7 @@ def init_state(cfg, rng) -> Tuple[base.TrainState, object]:
     return base.init_model_state(cfg, model, rng, tx), model
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     mcfg = cfg.method
     n_classes = cfg.data.num_classes
     n_dec = 1 + cfg.model.n_aux
@@ -61,6 +61,10 @@ def make_train_step(cfg, model, tx):
     def train_step(state: base.TrainState,
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         new_key, d1, p1, d2, p2, mix_key = jax.random.split(state.key, 6)
+        # per-device decorrelation for pixel-level randomness; the
+        # Dirichlet mix weight is ONE global draw per step (reference
+        # :251) so mix_key stays shared
+        d1, p1, d2, p2 = base.device_keys((d1, p1, d2, p2), axis_name)
 
         def loss_fn(params):
             if mcfg.fused_batch:
@@ -143,6 +147,7 @@ def make_train_step(cfg, model, tx):
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        grads = base.pmean_if(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         m = segmentation_metrics(aux["outs0"], batch["label"], n_classes)
@@ -153,8 +158,10 @@ def make_train_step(cfg, model, tx):
             "consistency_w1": aux["w1"], "consistency_w2": aux["w2"],
             "train_miou": m["miou"], "train_mdice": m["mdice"],
         }
+        metrics = base.pmean_if(metrics, axis_name)
         return state.replace(step=state.step + 1, params=new_params,
-                             batch_stats=aux["bs"], opt_state=new_opt,
+                             batch_stats=base.pmean_if(aux["bs"], axis_name),
+                             opt_state=new_opt,
                              key=new_key), metrics
 
     return train_step

@@ -32,7 +32,7 @@ def init_state(cfg, rng) -> Tuple[base.TrainState, object]:
     return base.init_model_state(cfg, model, rng, tx), model
 
 
-def make_train_step(cfg, model, tx):
+def make_train_step(cfg, model, tx, axis_name=None):
     mcfg = cfg.method
     n_classes = cfg.data.num_classes
 
@@ -40,6 +40,8 @@ def make_train_step(cfg, model, tx):
                    batch) -> Tuple[base.TrainState, Dict[str, jax.Array]]:
         (new_key, k_mix, k_cross, d1, p1, d2, p2, d3, p3
          ) = jax.random.split(state.key, 9)
+        (k_mix, k_cross, d1, p1, d2, p2, d3, p3) = base.device_keys(
+            (k_mix, k_cross, d1, p1, d2, p2, d3, p3), axis_name)
 
         # device-side CutMix augmentation (reference does this on host)
         img_l, lab_l = generate_mix_data(k_mix, batch["image"],
@@ -85,14 +87,17 @@ def make_train_step(cfg, model, tx):
 
         (loss, (o1, new_bs, sup, ps_loss, w, ce, dice)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = base.pmean_if(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         m = segmentation_metrics(o1, lab_l, n_classes)
         metrics = {"loss": loss, "sup_loss": sup, "ps_loss": ps_loss,
                    "ce_loss": ce, "dice_loss": dice, "consistency_w1": w,
                    "train_miou": m["miou"], "train_mdice": m["mdice"]}
+        metrics = base.pmean_if(metrics, axis_name)
         return state.replace(step=state.step + 1, params=new_params,
-                             batch_stats=new_bs, opt_state=new_opt,
+                             batch_stats=base.pmean_if(new_bs, axis_name),
+                             opt_state=new_opt,
                              key=new_key), metrics
 
     return train_step

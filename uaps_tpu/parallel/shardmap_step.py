@@ -1,0 +1,39 @@
+"""shard_map training mode: per-device SPMD with explicit collectives.
+
+The default multi-chip path is GSPMD (jit + sharded batches), under which
+XLA partitions everything automatically — EXCEPT pallas_call, which runs
+replicated. This module provides the manual alternative: the train step
+runs per-device under shard_map with gradients/metrics/batch-stats pmean'd
+over the 'data' axis (each method's make_train_step takes axis_name), and
+the Pallas conv kernels stay active because every device traces concrete
+local shapes.
+
+Semantics vs GSPMD mode:
+  - Losses are means over the LOCAL shard; pmean of gradients equals the
+    gradient of the global-mean loss for equal shard sizes.
+  - BatchNorm normalizes per-device batches (the reference's
+    nn.DataParallel behavior — GSPMD mode gives sync-BN); running stats
+    are pmean'd so the replicated state stays consistent.
+  - Per-device randomness is decorrelated by folding the axis index into
+    each use key (base.device_keys); global per-step draws (Dirichlet mix
+    weights, DCT rotation) stay shared.
+Enable with RunConfig.use_shard_map=True.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_sharded_train_step(method, cfg, model, tx, mesh: Mesh) -> Callable:
+    base_step = method.make_train_step(cfg, model, tx, axis_name="data")
+    sharded = shard_map(
+        base_step, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)

@@ -82,9 +82,10 @@ class Trainer:
         n = max(d for d in range(1, avail + 1)
                 if cfg.data.batch_size % d == 0)
         self.mesh = make_mesh(n)
-        if self.mesh.devices.size > 1:
+        if self.mesh.devices.size > 1 and not cfg.run.use_shard_map:
             # pallas convs run replicated under GSPMD; keep multi-chip DP
-            # correct and scalable by using XLA convs there (see PERF.md)
+            # correct and scalable by using XLA convs there. shard_map
+            # mode keeps the kernels (see parallel/shardmap_step.py).
             from uaps_tpu.models.unet import set_pallas_conv
             set_pallas_conv(False)
         self.logger = get_logger(cfg.run.out_dir)
@@ -95,8 +96,14 @@ class Trainer:
         rng = jax.random.key(cfg.run.seed)
         self.state, self.model = self.method.init_state(cfg, rng)
         self.tx = method_base.make_optimizer(cfg.optim)
-        step_fn = self.method.make_train_step(cfg, self.model, self.tx)
-        self.train_step = jax.jit(step_fn, donate_argnums=0)
+        if cfg.run.use_shard_map and self.mesh.devices.size > 1:
+            from uaps_tpu.parallel.shardmap_step import \
+                make_sharded_train_step
+            self.train_step = make_sharded_train_step(
+                self.method, cfg, self.model, self.tx, self.mesh)
+        else:
+            step_fn = self.method.make_train_step(cfg, self.model, self.tx)
+            self.train_step = jax.jit(step_fn, donate_argnums=0)
         self.eval_step = method_base.make_eval_step(cfg, self.model)
         self.scheduler = method_base.PlateauScheduler(cfg.optim)
         self.ckpt = CheckpointManager(
@@ -268,6 +275,7 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--prng_impl", default=None,
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
+    p.add_argument("--shard_map", action="store_true")
     args, _ = p.parse_known_args(argv)
 
     if args.preset == "synthetic":
@@ -297,6 +305,7 @@ def parse_args(argv=None) -> Config:
         run=rep(cfg.run, epochs=args.epochs,
                 iter_per_epoch=args.iter_per_epoch, seed=args.seed,
                 out_dir=args.out_dir, prng_impl=args.prng_impl,
+                use_shard_map=args.shard_map or None,
                 debug_nans=args.debug_nans or None),
     )
     return cfg, args

@@ -100,6 +100,10 @@ class RunConfig:
     # perturbation-heavy UAPS step; streams differ from threefry but the
     # distributions are identical)
     prng_impl: str = "threefry2x32"
+    # multi-device execution mode: False = GSPMD (jit-sharded, sync-BN,
+    # XLA convs), True = shard_map (per-device step, DataParallel-style
+    # BN, Pallas conv kernels stay active) — see parallel/shardmap_step.py
+    use_shard_map: bool = False
     halt_on_nan: bool = True  # failure detection: stop on non-finite loss
     debug_nans: bool = False
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)

@@ -106,9 +106,17 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 w = jax.random.dirichlet(mix_key, jnp.ones((n_dec,)))
             else:
                 w = jnp.full((n_dec,), 1.0 / n_dec)
-            mixed = sum(wi * jax.lax.stop_gradient(s)
-                        for wi, s in zip(w, softmaxes))
-            pseudo = jnp.argmax(mixed, axis=-1)
+            from uaps_tpu.models.unet import PALLAS_CONV
+            if PALLAS_CONV["enabled"] and \
+                    jax.devices()[0].platform == "tpu":
+                # fused softmax-mix-argmax kernel (one VMEM pass over the
+                # D logit tensors; pallas/pseudo_label.py)
+                from uaps_tpu.pallas import fused_pseudo_label
+                pseudo = fused_pseudo_label(jnp.stack(un_outs), w)
+            else:
+                mixed = sum(wi * jax.lax.stop_gradient(s)
+                            for wi, s in zip(w, softmaxes))
+                pseudo = jnp.argmax(mixed, axis=-1)
 
             ps_terms = []
             for o, var in zip(un_outs, variances):

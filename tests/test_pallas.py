@@ -115,3 +115,51 @@ class TestConv3x3Kernels:
         np.testing.assert_allclose(
             np.asarray(conv3x3_fast(x, k, True)),
             np.asarray(reference_conv3x3(x, k)), rtol=1e-4, atol=1e-5)
+
+
+class TestFusedCeDice:
+    def test_matches_ops(self, rng):
+        from uaps_tpu.pallas.ce_dice import fused_ce_dice
+        from uaps_tpu.ops import cross_entropy_loss, softmax_dice_loss
+        logits = jnp.asarray(
+            rng.standard_normal((2, 16, 128, 4)).astype(np.float32) * 3)
+        labels = jnp.asarray(rng.integers(0, 4, (2, 16, 128)), jnp.int32)
+        ce, dice = fused_ce_dice(logits, labels)
+        np.testing.assert_allclose(
+            float(ce), float(cross_entropy_loss(logits, labels)), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(dice), float(softmax_dice_loss(logits, labels)),
+            rtol=1e-5)
+
+    def test_gradient_matches_ops(self, rng):
+        from uaps_tpu.pallas.ce_dice import fused_ce_dice
+        from uaps_tpu.ops import cross_entropy_loss, softmax_dice_loss
+        logits = jnp.asarray(
+            rng.standard_normal((1, 8, 128, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, (1, 8, 128)), jnp.int32)
+        gk = jax.grad(lambda lg: sum(fused_ce_dice(lg, labels)) * 0.5)(
+            logits)
+        gr = jax.grad(lambda lg: 0.5 * (cross_entropy_loss(lg, labels)
+                                        + softmax_dice_loss(lg, labels)))(
+            logits)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_asymmetric_upstream_grads(self, rng):
+        """CE and Dice get DIFFERENT upstream weights in some methods."""
+        from uaps_tpu.pallas.ce_dice import fused_ce_dice
+        from uaps_tpu.ops import cross_entropy_loss, softmax_dice_loss
+        logits = jnp.asarray(
+            rng.standard_normal((1, 8, 128, 4)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, (1, 8, 128)), jnp.int32)
+
+        def lk(lg):
+            ce, dice = fused_ce_dice(lg, labels)
+            return 0.7 * ce + 0.3 * dice
+
+        def lr(lg):
+            return (0.7 * cross_entropy_loss(lg, labels)
+                    + 0.3 * softmax_dice_loss(lg, labels))
+        np.testing.assert_allclose(np.asarray(jax.grad(lk)(logits)),
+                                   np.asarray(jax.grad(lr)(logits)),
+                                   rtol=1e-4, atol=1e-8)

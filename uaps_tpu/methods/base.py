@@ -133,7 +133,18 @@ def apply_train(model, params, batch_stats, x, rngs) -> Tuple[Any, Any]:
 
 def supervised_ce_dice(logits: Array, labels: Array) -> Tuple[Array, Array]:
     """The reference's universal supervised pair: (CE, Dice)
-    (UAPS_train.py:194-211, baseline_train.py:161-164)."""
+    (UAPS_train.py:194-211, baseline_train.py:161-164).
+
+    On TPU this routes through the fused Pallas kernel
+    (pallas/ce_dice.py): one channels-in-sublanes pass computes both
+    losses' statistics with an analytic VJP, avoiding the C->128 lane
+    padding XLA pays on every pass over [B,H,W,C] class tensors."""
+    from uaps_tpu.models.unet import PALLAS_CONV
+    h, w = logits.shape[1:3]
+    if (PALLAS_CONV["enabled"] and jax.devices()[0].platform == "tpu"
+            and h % 8 == 0 and w % 128 == 0):
+        from uaps_tpu.pallas.ce_dice import fused_ce_dice
+        return fused_ce_dice(logits, labels)
     return cross_entropy_loss(logits, labels), softmax_dice_loss(logits, labels)
 
 

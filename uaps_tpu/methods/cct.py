@@ -43,8 +43,9 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 model, params, bs1, batch["uimage"],
                 rngs={"dropout": d2, "perturb": p2})
             labels = batch["label"]
-            ces = [cross_entropy_loss(o, labels) for o in outs]
-            dices = [softmax_dice_loss(o, labels) for o in outs]
+            pairs = [base.supervised_ce_dice(o, labels) for o in outs]
+            ces = [p[0] for p in pairs]
+            dices = [p[1] for p in pairs]
             sup = (sum(ces) + sum(dices)) / (2 * len(outs))
             softs = [jax.nn.softmax(o, axis=-1) for o in un_outs]
             cons = sum(jnp.mean((softs[0] - s) ** 2) for s in softs[1:]) \

@@ -38,8 +38,8 @@ def init_state(cfg, rng) -> Tuple[base.TrainState, object]:
 
 def _ps_pair(logits_a, pseudo_b):
     """0.5 CE(a, pseudo_b) + 0.5 Dice(pseudo_b, a) (:228-245)."""
-    return 0.5 * cross_entropy_loss(logits_a, pseudo_b) \
-        + 0.5 * softmax_dice_loss(logits_a, pseudo_b)
+    ce, dice = base.supervised_ce_dice(logits_a, pseudo_b)
+    return 0.5 * ce + 0.5 * dice
 
 
 def make_train_step(cfg, model, tx, axis_name=None):

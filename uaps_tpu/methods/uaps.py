@@ -90,8 +90,9 @@ def make_train_step(cfg, model, tx, axis_name=None):
 
             labels = batch["label"]
             # supervised: mean over decoders of 0.5(CE+Dice)
-            ces = [cross_entropy_loss(o, labels) for o in outs]
-            dices = [softmax_dice_loss(o, labels) for o in outs]
+            pairs = [base.supervised_ce_dice(o, labels) for o in outs]
+            ces = [p[0] for p in pairs]
+            dices = [p[1] for p in pairs]
             sup = sum(0.5 * (c + d) for c, d in zip(ces, dices)) / n_dec
 
             # uncertainty maps vs the average softmax
@@ -120,8 +121,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
 
             ps_terms = []
             for o, var in zip(un_outs, variances):
-                ps = 0.5 * (cross_entropy_loss(o, pseudo)
-                            + softmax_dice_loss(o, pseudo))
+                ps_ce, ps_dice = base.supervised_ce_dice(o, pseudo)
+                ps = 0.5 * (ps_ce + ps_dice)
                 if mcfg.uncertainty_gate:
                     ps = ps * jnp.mean(jnp.exp(-var))
                 ps_terms.append(ps)

@@ -71,11 +71,11 @@ def make_train_step(cfg, model, tx, axis_name=None):
             pseudo_1 = jnp.argmax(jax.lax.stop_gradient(s2_wk), axis=-1)
             pseudo_2 = jnp.argmax(jax.lax.stop_gradient(s1_wk), axis=-1)
 
-            ps_1 = (0.5 * (cross_entropy_loss(u1_st, pseudo_1)
-                           + softmax_dice_loss(u1_st, pseudo_1))
+            ce1u, dice1u = base.supervised_ce_dice(u1_st, pseudo_1)
+            ce2u, dice2u = base.supervised_ce_dice(u2_st, pseudo_2)
+            ps_1 = (0.5 * (ce1u + dice1u)
                     * jnp.mean(jnp.exp(-var_1))) + jnp.mean(var_1)
-            ps_2 = (0.5 * (cross_entropy_loss(u2_st, pseudo_2)
-                           + softmax_dice_loss(u2_st, pseudo_2))
+            ps_2 = (0.5 * (ce2u + dice2u)
                     * jnp.mean(jnp.exp(-var_2))) + jnp.mean(var_2)
             ps_loss = ps_1 + ps_2
 

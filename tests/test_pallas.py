@@ -116,6 +116,41 @@ class TestConv3x3Kernels:
             np.asarray(conv3x3_fast(x, k, True)),
             np.asarray(reference_conv3x3(x, k)), rtol=1e-4, atol=1e-5)
 
+    def test_im2col_variant_matches_taps(self, rng):
+        from uaps_tpu.pallas.conv3x3_nchw import (conv3x3_nchw,
+                                                  conv3x3_nchw_wgrad)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_nchw(x, w, True, "im2col")),
+            np.asarray(conv3x3_nchw(x, w, True, "taps")),
+            rtol=1e-5, atol=1e-5)
+        g = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_nchw_wgrad(x, g, True, "im2col")),
+            np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps")),
+            rtol=1e-4, atol=1e-4)
+
+    def test_gated_backward_large_cin(self, rng):
+        """cin > 32 routes dgrad/wgrad to XLA (measured faster on v5e);
+        interpret mode forces the pallas branch, so compare the two gate
+        paths by calling the XLA-branch formulas directly."""
+        from uaps_tpu.pallas.conv3x3_nchw import _xla_conv_nhwc
+        from uaps_tpu.pallas.conv3x3 import reference_conv3x3
+        x, k = self._data(rng, cin=64, cout=32)
+        g = jnp.asarray(rng.standard_normal((2, 16, 128, 32)), jnp.float32)
+        w_rot = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx_gate = _xla_conv_nhwc(g, w_rot)
+        _, wvjp = jax.vjp(lambda ww: _xla_conv_nhwc(x, ww), k)
+        dw_gate = wvjp(g)[0]
+        dx_ref, dw_ref = jax.vjp(
+            lambda xx, ww: reference_conv3x3(xx, ww), x, k)[1](g)
+        np.testing.assert_allclose(np.asarray(dx_gate), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw_gate), np.asarray(dw_ref),
+                                   rtol=1e-4, atol=1e-3)
+
 
 class TestFusedCeDice:
     def test_matches_ops(self, rng):

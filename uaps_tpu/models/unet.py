@@ -75,8 +75,10 @@ class Conv3x3(nn.Module):
             and self.features <= 32 and cin <= 64
         )
         if use_pallas:
+            import os
             from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
-            y = conv3x3_fast(x, kernel)
+            y = conv3x3_fast(x, kernel, False,
+                             os.environ.get("UAPS_CONV_VARIANT", "taps"))
         else:
             y = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1), "SAME",

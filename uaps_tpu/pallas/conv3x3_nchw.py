@@ -53,17 +53,49 @@ def _fwd_kernel(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
 
 
+def _im2col(x, *, slab, width, cin):
+    """[C, slab+8, W+2] halo block -> [9*Cin, slab*W] patch matrix.
+
+    The nine tap slices are the same loads the nine-matmul kernel issues;
+    concatenating them along the sublane axis turns the channel contraction
+    (K = Cin, at most 64/128 of the MXU's depth) into K = 9*Cin, so one
+    matmul replaces nine and the systolic array runs ~full depth."""
+    cols = []
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab, dw:dw + width]
+            cols.append(xs.reshape(cin, slab * width))
+    return jnp.concatenate(cols, axis=0)
+
+
+def _fwd_kernel_im2col(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, C, slab+8, W+2], w_ref [Cout, 9*Cin],
+    o_ref [1, Co, slab, W]. One [Co, 9C] x [9C, slab*W] MXU matmul."""
+    xcol = _im2col(x_ref[0], slab=slab, width=width, cin=cin)
+    acc = jax.lax.dot_general(
+        w_ref[...], xcol, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [Co, slab*W]
+    o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
+
+
 def conv3x3_nchw(x: jax.Array, w: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 variant: str = "im2col") -> jax.Array:
     """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
-    (SAME, stride 1)."""
+    (SAME, stride 1). variant: 'im2col' (one full-depth MXU matmul) or
+    'taps' (nine K=Cin matmuls, the original round-1 kernel)."""
     b, cin, h, width = x.shape
     cout = w.shape[-1]
     slab = _pick_slab(h)
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
-    wp = w.reshape(9, cin, cout).astype(x.dtype)
-    kernel = functools.partial(_fwd_kernel, slab=slab, width=width,
-                               cin=cin, cout=cout)
+    if variant == "im2col":
+        wp = w.reshape(9 * cin, cout).T.astype(x.dtype)
+        kernel = functools.partial(_fwd_kernel_im2col, slab=slab,
+                                   width=width, cin=cin, cout=cout)
+    else:
+        wp = w.reshape(9, cin, cout).astype(x.dtype)
+        kernel = functools.partial(_fwd_kernel, slab=slab, width=width,
+                                   cin=cin, cout=cout)
     return pl.pallas_call(
         kernel,
         grid=(b, h // slab),
@@ -102,15 +134,34 @@ def _wgrad_kernel(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
             ).astype(o_ref.dtype)
 
 
+def _wgrad_kernel_im2col(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, Cin, slab+8, W+2], g_ref [1, Co, slab, W],
+    o_ref [9*Cin, Cout] accumulated over the sequential grid.
+    One [9C, N] x [N, Co] matmul per block instead of nine."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    xcol = _im2col(x_ref[0], slab=slab, width=width, cin=cin)
+    g = g_ref[0].reshape(cout, slab * width)
+    o_ref[...] += jax.lax.dot_general(
+        xcol, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       variant: str = "im2col") -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
     b, cin, h, width = x.shape
     cout = g.shape[1]
     slab = _pick_slab(h)
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
-    kernel = functools.partial(_wgrad_kernel, slab=slab, width=width,
-                               cin=cin, cout=cout)
+    im2col = variant == "im2col"
+    kernel = functools.partial(
+        _wgrad_kernel_im2col if im2col else _wgrad_kernel,
+        slab=slab, width=width, cin=cin, cout=cout)
+    out_shape = ((9 * cin, cout) if im2col else (9, cin, cout))
     flat = pl.pallas_call(
         kernel,
         grid=(b, h // slab),
@@ -123,34 +174,55 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                          lambda bi, si: (bi, 0, si, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((9, cin, cout), lambda bi, si: (0, 0, 0),
+        out_specs=pl.BlockSpec(out_shape,
+                               (lambda bi, si: (0, 0)) if im2col
+                               else (lambda bi, si: (0, 0, 0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )(xp, g)
     return flat.reshape(3, 3, cin, cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _xla_conv_nhwc(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3x3_fast(x: jax.Array, w: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 variant: str = "taps") -> jax.Array:
     """NHWC-facing differentiable conv using the NCHW kernel."""
     xc = jnp.transpose(x, (0, 3, 1, 2))
-    out = conv3x3_nchw(xc, w, interpret)
+    out = conv3x3_nchw(xc, w, interpret, variant)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def _vjp_fwd(x, w, interpret):
-    return conv3x3_fast(x, w, interpret), (x, w)
+def _vjp_fwd(x, w, interpret, variant):
+    return conv3x3_fast(x, w, interpret, variant), (x, w)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(interpret, variant, res, g):
+    """Shape-gated backward: the pallas kernels only beat XLA while the
+    channel counts stay small (measured on v5e, bf16 bs16: 2.1x faster
+    bwd at 256x256 cin=16, but 1.3x SLOWER at 128x128 cin=64 — the dgrad
+    there is a cout=64 conv, outside the kernel's favorable regime, and
+    the sequential-grid wgrad accumulation serializes). Use pallas for
+    dgrad/wgrad only when the fwd cin <= 32; otherwise XLA."""
     x, w = res
+    cin = w.shape[2]
+    g = g.astype(x.dtype)
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-    dx = conv3x3_fast(g.astype(x.dtype), w_rot, interpret)
-    xc = jnp.transpose(x, (0, 3, 1, 2))
-    gc = jnp.transpose(g, (0, 3, 1, 2))
-    dw = conv3x3_nchw_wgrad(xc, gc, interpret).astype(w.dtype)
+    if cin <= 32 or interpret:
+        dx = conv3x3_fast(g, w_rot, interpret, variant)
+        xc = jnp.transpose(x, (0, 3, 1, 2))
+        gc = jnp.transpose(g, (0, 3, 1, 2))
+        dw = conv3x3_nchw_wgrad(xc, gc, interpret, variant).astype(w.dtype)
+    else:
+        dx = _xla_conv_nhwc(g, w_rot.astype(g.dtype))
+        _, wvjp = jax.vjp(lambda ww: _xla_conv_nhwc(x, ww), w)
+        dw = wvjp(g.astype(x.dtype))[0]
     return dx, dw
 
 

@@ -116,21 +116,22 @@ class TestConv3x3Kernels:
             np.asarray(conv3x3_fast(x, k, True)),
             np.asarray(reference_conv3x3(x, k)), rtol=1e-4, atol=1e-5)
 
-    def test_im2col_variant_matches_taps(self, rng):
+    def test_variants_match_taps(self, rng):
         from uaps_tpu.pallas.conv3x3_nchw import (conv3x3_nchw,
                                                   conv3x3_nchw_wgrad)
         x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
         w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
                         jnp.float32)
-        np.testing.assert_allclose(
-            np.asarray(conv3x3_nchw(x, w, True, "im2col")),
-            np.asarray(conv3x3_nchw(x, w, True, "taps")),
-            rtol=1e-5, atol=1e-5)
         g = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
-        np.testing.assert_allclose(
-            np.asarray(conv3x3_nchw_wgrad(x, g, True, "im2col")),
-            np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps")),
-            rtol=1e-4, atol=1e-4)
+        ref_f = np.asarray(conv3x3_nchw(x, w, True, "taps"))
+        ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
+        for variant in ("im2col", "dhdw"):
+            np.testing.assert_allclose(
+                np.asarray(conv3x3_nchw(x, w, True, variant)), ref_f,
+                rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(conv3x3_nchw_wgrad(x, g, True, variant)), ref_w,
+                rtol=1e-4, atol=1e-4)
 
     def test_gated_backward_large_cin(self, rng):
         """cin > 32 routes dgrad/wgrad to XLA (measured faster on v5e);

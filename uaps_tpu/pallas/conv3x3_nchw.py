@@ -78,17 +78,56 @@ def _fwd_kernel_im2col(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
 
 
+def _dw_cols(x, *, slab, width, cin, rows):
+    """[C, slab+8, W+2] halo block -> [3C, rows, W]: the three dw-shifted
+    row windows stacked on the sublane axis (rows = slab+2 starting at the
+    top halo row). Three lane shifts instead of the taps kernel's nine."""
+    return jnp.concatenate(
+        [x[:, _HOFF:_HOFF + rows, dw:dw + width] for dw in range(3)], axis=0)
+
+
+def _fwd_kernel_dhdw(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """dh-in-M / dw-in-K conv: x_ref [1, C, slab+8, W+2],
+    w_ref [3*Cout, 3*Cin] (rows dh*Co+co, cols dw*C+c),
+    o_ref [1, Co, slab, W].
+
+    MXU time on this hardware scales with K * N * ceil(M/128) (measured:
+    nine K=C matmuls == one K=9C matmul), so the only way to cut passes is
+    to grow M. Packing the three dh taps into M and the three dw taps into
+    K gives one [3Co, 3C] x [3C, (slab+2)W] matmul — 2.8x fewer MXU cycles
+    than the nine-matmul 'taps' kernel for Cin=Cout=16 — plus a cheap
+    epilogue of two sublane-shifted adds:
+      y[co, r, :] = sum_dh P[dh, co, r + dh, :]."""
+    rows = slab + 2
+    xcol = _dw_cols(x_ref[0], slab=slab, width=width, cin=cin, rows=rows)
+    p = jax.lax.dot_general(
+        w_ref[...], xcol.reshape(3 * cin, rows * width),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [3Co, (slab+2)*W]
+    p = p.reshape(3, cout, rows, width)
+    acc = (p[0, :, 0:slab] + p[1, :, 1:slab + 1] + p[2, :, 2:slab + 2])
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def conv3x3_nchw(x: jax.Array, w: jax.Array,
                  interpret: bool = False,
                  variant: str = "im2col") -> jax.Array:
     """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
     (SAME, stride 1). variant: 'im2col' (one full-depth MXU matmul) or
     'taps' (nine K=Cin matmuls, the original round-1 kernel)."""
+    if variant == "fullh":
+        return conv3x3_nchw_fullh(x, w, interpret)
     b, cin, h, width = x.shape
     cout = w.shape[-1]
     slab = _pick_slab(h)
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
-    if variant == "im2col":
+    if variant == "dhdw":
+        # W2[dh*Co+co, dw*C+c] = w[dh, dw, c, co]
+        wp = w.transpose(0, 3, 1, 2).reshape(3 * cout, 3 * cin).astype(
+            x.dtype)
+        kernel = functools.partial(_fwd_kernel_dhdw, slab=slab,
+                                   width=width, cin=cin, cout=cout)
+    elif variant == "im2col":
         wp = w.reshape(9 * cin, cout).T.astype(x.dtype)
         kernel = functools.partial(_fwd_kernel_im2col, slab=slab,
                                    width=width, cin=cin, cout=cout)
@@ -149,19 +188,45 @@ def _wgrad_kernel_im2col(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _wgrad_kernel_dhdw(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, Cin, slab+8, W+2], g_ref [1, Co, slab, W],
+    o_ref [3*Cout, 3*Cin] accumulated over the sequential grid.
+    dW2[dh*Co+co, dw*C+c] = sum_{i,j} g[co,i,j] x[c,i+dh-1,j+dw-1]:
+    stack g at row offset dh per dh-group (sublane placement, cheap) and
+    contract against the dw-stacked input columns in ONE matmul."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    rows = slab + 2
+    xcol = _dw_cols(x_ref[0], slab=slab, width=width, cin=cin, rows=rows)
+    g = g_ref[0]
+    g2 = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (dh, 2 - dh), (0, 0))) for dh in range(3)],
+        axis=0)                                     # [3Co, slab+2, W]
+    o_ref[...] += jax.lax.dot_general(
+        g2.reshape(3 * cout, rows * width),
+        xcol.reshape(3 * cin, rows * width),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        interpret: bool = False,
                        variant: str = "im2col") -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
+    if variant == "fullh":
+        return conv3x3_nchw_wgrad_fullh(x, g, interpret)
     b, cin, h, width = x.shape
     cout = g.shape[1]
     slab = _pick_slab(h)
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
-    im2col = variant == "im2col"
     kernel = functools.partial(
-        _wgrad_kernel_im2col if im2col else _wgrad_kernel,
+        {"im2col": _wgrad_kernel_im2col, "dhdw": _wgrad_kernel_dhdw,
+         "taps": _wgrad_kernel}[variant],
         slab=slab, width=width, cin=cin, cout=cout)
-    out_shape = ((9 * cin, cout) if im2col else (9, cin, cout))
+    out_shape = {"im2col": (9 * cin, cout), "dhdw": (3 * cout, 3 * cin),
+                 "taps": (9, cin, cout)}[variant]
     flat = pl.pallas_call(
         kernel,
         grid=(b, h // slab),
@@ -175,10 +240,128 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(out_shape,
-                               (lambda bi, si: (0, 0)) if im2col
-                               else (lambda bi, si: (0, 0, 0)),
+                               (lambda bi, si: (0,) * len(out_shape)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        interpret=interpret,
+    )(xp, g)
+    if variant == "dhdw":
+        # [3Co, 3C] rows dh*Co+co, cols dw*C+c -> [3, 3, Cin, Cout]
+        return flat.reshape(3, cout, 3, cin).transpose(0, 2, 3, 1)
+    return flat.reshape(3, 3, cin, cout)
+
+
+def _shift_f32(p, dw):
+    """Zero-padded column shift on a 32-bit tensor:
+    result[..., j] = p[..., j + dw - 1] == 0-padded roll by (1 - dw).
+    Mosaic lane rotates only support 32-bit data, so the conv's column
+    halo is applied to the f32 partial/accumulator, never to bf16 inputs."""
+    if dw == 1:
+        return p
+    width = p.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, p.shape, len(p.shape) - 1)
+    rolled = pltpu.roll(p, (1 - dw) % width, len(p.shape) - 1)
+    edge = (lane == 0) if dw == 0 else (lane == width - 1)
+    return jnp.where(edge, jnp.zeros_like(p), rolled)
+
+
+def _fwd_kernel_fullh(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """Full-image block conv: x_ref [1, C, H+8, W] (H-padded ONLY — rows
+    stay lane-aligned and the whole per-image channel plane is one
+    contiguous DMA, which probes showed is where the halo-block kernels
+    lose 5x to the bandwidth bound), w_ref [9, Cin, Cout],
+    o_ref [1, Co, H, W]. Column halos are applied as f32 lane rolls of
+    the per-dw partial sums; rows iterate in static slabs."""
+    x = x_ref[0]
+    nslab = o_ref.shape[2] // slab
+    for si in range(nslab):
+        r0 = 3 + si * slab                 # padded row of true row si*slab-1
+        xwin = x[:, r0:r0 + slab + 2, :]   # [C, slab+2, W]
+        acc = jnp.zeros((cout, slab, width), jnp.float32)
+        for dw in range(3):
+            p = jnp.zeros((cout, slab * width), jnp.float32)
+            for dh in range(3):
+                xs = xwin[:, dh:dh + slab, :].reshape(cin, slab * width)
+                p = p + jax.lax.dot_general(
+                    w_ref[dh * 3 + dw], xs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            # y[co, i, j] += p_dw[co, i, j + dw - 1]
+            acc = acc + _shift_f32(p.reshape(cout, slab, width), dw)
+        o_ref[0, :, si * slab:(si + 1) * slab, :] = acc.astype(o_ref.dtype)
+
+
+def conv3x3_nchw_fullh(x: jax.Array, w: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
+    (SAME, stride 1). H-padded contiguous-DMA variant."""
+    b, cin, h, width = x.shape
+    cout = w.shape[-1]
+    slab = _pick_slab(h)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (0, 0)))
+    wp = w.reshape(9, cin, cout).astype(x.dtype)
+    kernel = functools.partial(_fwd_kernel_fullh, slab=slab, width=width,
+                               cin=cin, cout=cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, cin, h + 8, width), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cout, h, width),
+                               lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, cout, h, width), x.dtype),
+        interpret=interpret,
+    )(xp, wp)
+
+
+def _wgrad_kernel_fullh(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, Cin, H+8, W], g_ref [1, Co, H, W], o_ref [9, Cin, Cout]."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    g = g_ref[0]
+    nslab = g_ref.shape[2] // slab
+    for si in range(nslab):
+        r0 = 3 + si * slab
+        xwin = x[:, r0:r0 + slab + 2, :]
+        gblk = g[:, si * slab:(si + 1) * slab, :].astype(jnp.float32)
+        for dw in range(3):
+            # dW[dh,dw] = sum_j' x[:, :, j'] * g[:, :, j' + 1 - dw]
+            gs = _shift_f32(gblk, 2 - dw).astype(g.dtype).reshape(
+                cout, slab * width)
+            for dh in range(3):
+                xs = xwin[:, dh:dh + slab, :].reshape(cin, slab * width)
+                o_ref[dh * 3 + dw] += jax.lax.dot_general(
+                    xs, gs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def conv3x3_nchw_wgrad_fullh(x: jax.Array, g: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
+    b, cin, h, width = x.shape
+    cout = g.shape[1]
+    slab = _pick_slab(h)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (0, 0)))
+    kernel = functools.partial(_wgrad_kernel_fullh, slab=slab, width=width,
+                               cin=cin, cout=cout)
+    flat = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, cin, h + 8, width), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, h, width), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9, cin, cout), lambda bi: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
         interpret=interpret,
     )(xp, g)
     return flat.reshape(3, 3, cin, cout)

@@ -145,3 +145,55 @@ class TestUpsample:
         theirs = t(torch.from_numpy(a.transpose(0, 3, 1, 2)))
         theirs = theirs.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+class TestStackedDecoders:
+    """stacked_decoder_apply must be numerically equivalent to the
+    sequential multi-decoder forward (same params, same BN stats)."""
+
+    def _setup(self):
+        from uaps_tpu.models.unet import MultiDecoderUNet
+        model = MultiDecoderUNet(num_classes=4,
+                                 perturbations=("none", "none", "none"))
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 64, 64, 3)),
+            jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1),
+             "perturb": jax.random.key(2)}, x, train=True)
+        return model, x, variables
+
+    def test_outputs_and_stats_match_sequential(self):
+        from uaps_tpu.methods import base
+        model, x, variables = self._setup()
+        rngs = {"dropout": jax.random.key(3), "perturb": jax.random.key(4)}
+        outs_seq, bs_seq = base.apply_train(
+            model, variables["params"], variables["batch_stats"], x, rngs)
+        outs_stk, bs_stk = base.apply_train_stacked(
+            model, variables["params"], variables["batch_stats"], x, rngs)
+        for a, b in zip(outs_seq, outs_stk):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(bs_seq), jax.tree.leaves(bs_stk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_gradients_finite_with_real_perturbations(self):
+        from uaps_tpu.methods import base
+        from uaps_tpu.models.unet import MultiDecoderUNet
+        model = MultiDecoderUNet(num_classes=4)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 64, 64, 3)),
+            jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1),
+             "perturb": jax.random.key(2)}, x, train=True)
+        rngs = {"dropout": jax.random.key(3), "perturb": jax.random.key(4)}
+
+        def loss(p):
+            outs, _ = base.apply_train_stacked(
+                model, p, variables["batch_stats"], x, rngs)
+            return sum(o.mean() for o in outs)
+
+        g = jax.grad(loss)(variables["params"])
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))

@@ -131,6 +131,32 @@ def apply_train(model, params, batch_stats, x, rngs) -> Tuple[Any, Any]:
     return out, mutated["batch_stats"]
 
 
+def apply_train_stacked(model, params, batch_stats, x, rngs
+                        ) -> Tuple[Any, Any]:
+    """Training forward with the 1+n_aux decoders vmapped over stacked
+    params (models/unet.py stacked_decoder_apply): encoder once, perturb,
+    one vmapped decoder chain. Numerically equivalent to apply_train on a
+    MultiDecoderUNet (same params, same per-decoder BN stats; perturbation
+    noise comes from an explicit key split instead of flax make_rng path
+    folding, so the random draw differs — the distribution does not)."""
+    from uaps_tpu.models.unet import stacked_decoder_apply
+    from uaps_tpu.ops.perturbations import perturb_features
+
+    feats, enc_mut = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, True,
+        rngs=rngs, mutable=["batch_stats"], method=type(model).encode)
+    keys = jax.random.split(rngs["perturb"], len(model.perturbations))
+    feats_all = [feats] + [
+        perturb_features(k, feats, kind)
+        for k, kind in zip(keys, model.perturbations)]
+    stacked = [jnp.stack([fa[i] for fa in feats_all])
+               for i in range(len(feats))]
+    outs, dec_bs = stacked_decoder_apply(model, params, batch_stats,
+                                         stacked, train=True)
+    new_bs = {**enc_mut["batch_stats"], **dec_bs}
+    return [outs[i] for i in range(len(feats_all))], new_bs
+
+
 def supervised_ce_dice(logits: Array, labels: Array) -> Tuple[Array, Array]:
     """The reference's universal supervised pair: (CE, Dice)
     (UAPS_train.py:194-211, baseline_train.py:161-164).

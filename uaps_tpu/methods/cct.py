@@ -35,11 +35,14 @@ def make_train_step(cfg, model, tx, axis_name=None):
         new_key, d1, p1, d2, p2 = jax.random.split(state.key, 5)
         d1, p1, d2, p2 = base.device_keys((d1, p1, d2, p2), axis_name)
 
+        fwd = (base.apply_train_stacked if cfg.model.stack_decoders
+               else base.apply_train)
+
         def loss_fn(params):
-            outs, bs1 = base.apply_train(
+            outs, bs1 = fwd(
                 model, params, state.batch_stats, batch["image"],
                 rngs={"dropout": d1, "perturb": p1})
-            un_outs, bs2 = base.apply_train(
+            un_outs, bs2 = fwd(
                 model, params, bs1, batch["uimage"],
                 rngs={"dropout": d2, "perturb": p2})
             labels = batch["label"]

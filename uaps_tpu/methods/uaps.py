@@ -66,13 +66,16 @@ def make_train_step(cfg, model, tx, axis_name=None):
         # :251) so mix_key stays shared
         d1, p1, d2, p2 = base.device_keys((d1, p1, d2, p2), axis_name)
 
+        fwd = (base.apply_train_stacked if cfg.model.stack_decoders
+               else base.apply_train)
+
         def loss_fn(params):
             if mcfg.fused_batch:
                 # one fused forward over [labeled; unlabeled] — better MXU
                 # utilization, joint-batch BN stats (documented deviation)
                 nb = batch["image"].shape[0]
                 both = jnp.concatenate([batch["image"], batch["uimage"]], 0)
-                outs_all, bs2 = base.apply_train(
+                outs_all, bs2 = fwd(
                     model, params, state.batch_stats, both,
                     rngs={"dropout": d1, "perturb": p1})
                 outs = [o[:nb] for o in outs_all]
@@ -81,10 +84,10 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 # labeled forward, then unlabeled forward continuing the
                 # same running-stat stream (two sequential forwards in the
                 # reference, :177,:185)
-                outs, bs1 = base.apply_train(
+                outs, bs1 = fwd(
                     model, params, state.batch_stats, batch["image"],
                     rngs={"dropout": d1, "perturb": p1})
-                un_outs, bs2 = base.apply_train(
+                un_outs, bs2 = fwd(
                     model, params, bs1, batch["uimage"],
                     rngs={"dropout": d2, "perturb": p2})
 

@@ -371,6 +371,50 @@ class MultiDecoderUNet(nn.Module):
         feats = self.encoder(x, train)
         return self.main_decoder(feats, train)
 
+    def encode(self, x, train: bool = False):
+        """Encoder features only (for the stacked-decoder fast path)."""
+        return self.encoder(x, train)
+
+
+def stacked_decoder_apply(model: "MultiDecoderUNet", params, batch_stats,
+                          feats_stacked, train: bool = False):
+    """Run main + aux decoders as ONE vmapped Decoder over stacked params.
+
+    The sequential path traces 1+n_aux separate decoder op-chains; on the
+    TPU that is 4x the XLA kernel count at 1/4 the per-op size. Stacking
+    the per-decoder param/batch-stat subtrees on a leading axis and
+    vmapping a single bare Decoder keeps the stored variable tree
+    IDENTICAL (stack/unstack happen per step on ~0.45M-param subtrees) so
+    checkpoints, the torch importer, and eval paths are unaffected.
+    Semantics are exactly the sequential path's: same params, same
+    per-decoder BN batch stats.
+
+    feats_stacked: list of per-scale arrays [D, B, h, w, c] where row 0 is
+    the raw features (main decoder) and rows 1.. are the perturbed copies.
+    Returns (logits [D, B, H, W, n_cls], {decoder_name: new_batch_stats}).
+    """
+    names = ["main_decoder"] + [
+        f"aux_decoder{i + 1}" for i in range(len(model.perturbations))]
+    p = jax.tree.map(lambda *ls: jnp.stack(ls), *[params[n] for n in names])
+    bs = jax.tree.map(lambda *ls: jnp.stack(ls),
+                      *[batch_stats[n] for n in names])
+    dec = Decoder(model.num_classes, model.features, model.bilinear,
+                  model.dtype)
+
+    def one(pp, bb, feats):
+        out, mut = dec.apply({"params": pp, "batch_stats": bb}, feats,
+                             train, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    if model.remat:
+        one = jax.checkpoint(one)
+    outs, new_bs = jax.vmap(one)(p, bs, feats_stacked)
+    unstacked = {
+        n: jax.tree.map(lambda l, _i=i: l[_i], new_bs)
+        for i, n in enumerate(names)
+    }
+    return outs, unstacked
+
 
 class DeepSupervisionUNet(nn.Module):
     """Encoder + Decoder_mcps with optional input perturbation.

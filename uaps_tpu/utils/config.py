@@ -46,6 +46,9 @@ class ModelConfig:
     n_aux: int = 3                     # UAPS ablation: 2..4
     compute_dtype: str = "float32"     # float32 | bfloat16
     remat: bool = False                # jax.checkpoint the encoder/decoders
+    # run the 1+n_aux decoders as ONE vmapped decoder over stacked params
+    # (semantics-preserving; see models/unet.py stacked_decoder_apply)
+    stack_decoders: bool = False
 
 
 @dataclasses.dataclass

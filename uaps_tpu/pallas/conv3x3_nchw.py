@@ -387,17 +387,19 @@ def _vjp_fwd(x, w, interpret, variant):
 
 
 def _vjp_bwd(interpret, variant, res, g):
-    """Shape-gated backward: the pallas kernels only beat XLA while the
-    channel counts stay small (measured on v5e, bf16 bs16: 2.1x faster
-    bwd at 256x256 cin=16, but 1.3x SLOWER at 128x128 cin=64 — the dgrad
-    there is a cout=64 conv, outside the kernel's favorable regime, and
-    the sequential-grid wgrad accumulation serializes). Use pallas for
-    dgrad/wgrad only when the fwd cin <= 32; otherwise XLA."""
+    """Backward with an optional shape gate. Isolated conv-pair chains
+    suggested routing the cin>32 backward to XLA, but the chains were a
+    dispatch-overhead artifact: in the REAL train step all-pallas bwd
+    measures 123.7 ms vs 127.8 ms gated (same process, v5e bf16 bs16), so
+    the default keeps pallas everywhere. UAPS_CONV_BWD_PALLAS_MAX_CIN
+    remains as the ablation knob (e.g. =32 restores the gate)."""
+    import os
     x, w = res
     cin = w.shape[2]
     g = g.astype(x.dtype)
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-    if cin <= 32 or interpret:
+    max_cin = int(os.environ.get("UAPS_CONV_BWD_PALLAS_MAX_CIN", "9999"))
+    if cin <= max_cin or interpret:
         dx = conv3x3_fast(g, w_rot, interpret, variant)
         xc = jnp.transpose(x, (0, 3, 1, 2))
         gc = jnp.transpose(g, (0, 3, 1, 2))

@@ -276,6 +276,14 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--prng_impl", default=None,
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
     p.add_argument("--shard_map", action="store_true")
+    p.add_argument("--fused_batch", action="store_true",
+                   help="one forward over [labeled; unlabeled] "
+                        "(joint-batch BN, documented deviation)")
+    p.add_argument("--stack_decoders", action="store_true",
+                   help="vmap the 1+n_aux decoders over stacked params")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/decoder segments (fits "
+                        "fp32 bs16 256x256 in 16G HBM)")
     args, _ = p.parse_known_args(argv)
 
     if args.preset == "synthetic":
@@ -295,12 +303,15 @@ def parse_args(argv=None) -> Config:
                  labeled_fraction=args.labeled_fraction,
                  image_root=args.image_root, mask_root=args.mask_root),
         model=rep(cfg.model, name=args.model, n_aux=args.n_aux,
-                  compute_dtype=args.dtype),
+                  compute_dtype=args.dtype,
+                  stack_decoders=args.stack_decoders or None,
+                  remat=args.remat or None),
         method=rep(cfg.method, name=args.method,
                    consistency1=args.consistency1,
                    consistency2=args.consistency2,
                    consistency_rampup=args.consistency_rampup,
-                   ema_decay=args.ema_decay),
+                   ema_decay=args.ema_decay,
+                   fused_batch=args.fused_batch or None),
         optim=rep(cfg.optim, base_lr=args.base_lr),
         run=rep(cfg.run, epochs=args.epochs,
                 iter_per_epoch=args.iter_per_epoch, seed=args.seed,

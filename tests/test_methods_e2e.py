@@ -303,3 +303,54 @@ class TestShardMapMode:
         _, m = stepN(replicate_state(state, mesh),
                      shard_batch(make_batch(cfg), mesh))
         assert np.isfinite(float(m["loss"])), method_name
+
+
+class TestMultiStepDispatch:
+    """K-step lax.scan dispatch must produce identical updates to K
+    sequential single-step dispatches (RunConfig.steps_per_dispatch)."""
+
+    def test_scan_equals_sequential(self):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from uaps_tpu.data.synthetic import synthetic_batch
+        from uaps_tpu.methods import get_method, base as mbase
+        from uaps_tpu.utils.config import preset
+
+        cfg = preset("synthetic", method="uaps")
+        cfg.data = dataclasses.replace(cfg.data, image_size=(32, 32),
+                                       batch_size=2)
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        step = method.make_train_step(cfg, model, tx)
+        rng = np.random.default_rng(0)
+        bs = []
+        for _ in range(2):
+            b = synthetic_batch(rng, 2, (32, 32), 4, 3)
+            bs.append({"image": b["image"], "label": b["label"],
+                       "uimage": b["image"], "ulabel": b["label"]})
+
+        s_seq = state
+        for b in bs:
+            s_seq, m_seq = jax.jit(step)(s_seq, b)
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *bs)
+
+        def multi(s, batches):
+            return jax.lax.scan(step, s, batches)
+
+        s_scan, m_scan = jax.jit(multi)(state, stacked)
+        # Per-step losses must match tightly. Raw params only loosely:
+        # scan changes XLA fusion order, and Adam amplifies ulp-level
+        # gradient differences on near-zero-gradient elements to a full
+        # +/-lr (1e-3) — benign numerical reordering, not a logic diff.
+        assert m_scan["loss"].shape == (2,)
+        np.testing.assert_allclose(float(m_seq["loss"]),
+                                   float(m_scan["loss"][-1]), rtol=1e-5)
+        lr = 1e-3
+        for a, b in zip(jax.tree.leaves(s_seq.params),
+                        jax.tree.leaves(s_scan.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3 * lr, rtol=0)

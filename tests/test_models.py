@@ -197,3 +197,54 @@ class TestStackedDecoders:
 
         g = jax.grad(loss)(variables["params"])
         assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+class TestNchwIslands:
+    """nchw_levels runs the high-resolution stages in NCHW; eval-mode
+    outputs must match the NHWC path exactly (train-mode dropout masks are
+    layout-dependent draws — same distribution, different bits)."""
+
+    def test_unet_eval_parity_and_param_tree(self):
+        from uaps_tpu.models.unet import UNet
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 64, 128, 3)),
+            jnp.float32)
+        m0 = UNet(num_classes=4, nchw_levels=0)
+        m2 = UNet(num_classes=4, nchw_levels=2)
+        v = m0.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, x, train=False)
+        v2 = m2.init({"params": jax.random.key(0),
+                      "dropout": jax.random.key(1)}, x, train=False)
+        s0 = jax.tree.map(lambda a: a.shape, v["params"])
+        s2 = jax.tree.map(lambda a: a.shape, v2["params"])
+        assert jax.tree.all(jax.tree.map(lambda a, b: a == b, s0, s2))
+        y0 = m0.apply(v, x, train=False)
+        y2 = m2.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y2),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_multidecoder_eval_parity_and_train_grads(self):
+        from uaps_tpu.models.unet import MultiDecoderUNet
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 64, 128, 3)),
+            jnp.float32)
+        mm0 = MultiDecoderUNet(num_classes=4, nchw_levels=0)
+        mm2 = MultiDecoderUNet(num_classes=4, nchw_levels=2)
+        vv = mm0.init({"params": jax.random.key(0),
+                       "dropout": jax.random.key(1),
+                       "perturb": jax.random.key(2)}, x, train=True)
+        y0 = mm0.apply(vv, x, train=False, method=mm0.main_only)
+        y2 = mm2.apply(vv, x, train=False, method=mm2.main_only)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y2),
+                                   rtol=1e-4, atol=1e-5)
+        rngs = {"dropout": jax.random.key(3), "perturb": jax.random.key(4)}
+
+        def loss(p):
+            outs, _ = mm2.apply(
+                {"params": p, "batch_stats": vv["batch_stats"]}, x,
+                train=True, rngs=rngs, mutable=["batch_stats"])
+            assert len(outs) == 4
+            return sum(o.mean() for o in outs)
+
+        g = jax.grad(loss)(vv["params"])
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))

@@ -100,6 +100,9 @@ def build_model(cfg):
     kwargs = {"remat": cfg.model.remat}
     if cfg.model.name == "unet_uaps":
         kwargs["n_aux"] = cfg.model.n_aux
+    if cfg.model.name in ("unet", "unet_uaps", "unet_cct", "unet_ucc",
+                          "unet_ccps"):
+        kwargs["nchw_levels"] = cfg.model.nchw_levels
     return net_factory(cfg.model.name, in_chns=cfg.data.in_channels,
                        class_num=cfg.data.num_classes, dtype=dtype, **kwargs)
 
@@ -146,8 +149,9 @@ def apply_train_stacked(model, params, batch_stats, x, rngs
         {"params": params, "batch_stats": batch_stats}, x, True,
         rngs=rngs, mutable=["batch_stats"], method=type(model).encode)
     keys = jax.random.split(rngs["perturb"], len(model.perturbations))
+    axes = getattr(model, "feat_channel_axes", None)
     feats_all = [feats] + [
-        perturb_features(k, feats, kind)
+        perturb_features(k, feats, kind, axes)
         for k, kind in zip(keys, model.perturbations)]
     stacked = [jnp.stack([fa[i] for fa in feats_all])
                for i in range(len(feats))]

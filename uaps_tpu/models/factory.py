@@ -31,40 +31,46 @@ def _register(name):
 
 
 @_register("unet")
-def _unet(num_classes: int, dtype=jnp.float32, remat: bool = False):
-    return UNet(num_classes=num_classes, dtype=dtype, remat=remat)
+def _unet(num_classes: int, dtype=jnp.float32, remat: bool = False,
+          nchw_levels: int = 0):
+    return UNet(num_classes=num_classes, dtype=dtype, remat=remat,
+                nchw_levels=nchw_levels)
 
 
 @_register("unet_uaps")
 def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
-               remat: bool = False):
+               remat: bool = False, nchw_levels: int = 0):
     """UAPS net; n_aux in {2,3,4} per the paper's ablation
     (UAPS_train.py:139 comments). kinds cycle through the reference order."""
     base = ("feature_noise", "dropout", "feature_dropout")
     kinds = tuple(base[i % 3] for i in range(n_aux))
     return MultiDecoderUNet(num_classes=num_classes, perturbations=kinds,
-                            dtype=dtype, remat=remat)
+                            dtype=dtype, remat=remat,
+                            nchw_levels=nchw_levels)
 
 
 @_register("unet_cct")
-def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False):
+def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False,
+              nchw_levels: int = 0):
     # arch-identical to unet_uaps (CCT/CCT_unet.py:261-286)
     return MultiDecoderUNet(num_classes=num_classes, dtype=dtype,
-                            remat=remat)
+                            remat=remat, nchw_levels=nchw_levels)
 
 
 @_register("unet_ucc")
-def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False):
+def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False,
+              nchw_levels: int = 0):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_noise",), dtype=dtype,
-                            remat=remat)
+                            remat=remat, nchw_levels=nchw_levels)
 
 
 @_register("unet_ccps")
-def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False):
+def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
+               nchw_levels: int = 0):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_dropout",), dtype=dtype,
-                            remat=remat)
+                            remat=remat, nchw_levels=nchw_levels)
 
 
 @_register("unet_f")

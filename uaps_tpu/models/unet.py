@@ -46,6 +46,14 @@ def set_pallas_conv(enabled: bool):
     PALLAS_CONV["enabled"] = bool(enabled)
 
 
+def to_nchw(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def to_nhwc(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
 class Conv3x3(nn.Module):
     """3x3 SAME conv, param-compatible with nn.Conv, that dispatches to
     the Pallas channels-in-sublanes kernel (pallas/conv3x3_nchw.py) on TPU
@@ -53,13 +61,17 @@ class Conv3x3(nn.Module):
     output channel count — measured 3.1x at 256x256/16ch); falls back to
     lax.conv elsewhere. The parameter tree ('kernel' HWIO + 'bias') is
     identical to nn.Conv so checkpoints and the torch importer are
-    unaffected."""
+    unaffected. layout='nchw' runs without any boundary transposes
+    (profiling showed the NHWC wrapper's layout copies cost ~21 ms/step —
+    PERF.md)."""
     features: int
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        nchw = self.layout == "nchw"
+        cin = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, cin, self.features), jnp.float32)
@@ -67,7 +79,7 @@ class Conv3x3(nn.Module):
                           (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        h, w = x.shape[1:3]
+        h, w = x.shape[2:4] if nchw else x.shape[1:3]
         use_pallas = (
             PALLAS_CONV["enabled"]
             and jax.devices()[0].platform == "tpu"
@@ -76,53 +88,81 @@ class Conv3x3(nn.Module):
         )
         if use_pallas:
             import os
-            from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
-            y = conv3x3_fast(x, kernel, False,
-                             os.environ.get("UAPS_CONV_VARIANT", "taps"))
+            variant = os.environ.get("UAPS_CONV_VARIANT", "taps")
+            if nchw:
+                from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
+                y = conv3x3_fast_nchw(x, kernel, False, variant)
+            else:
+                from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
+                y = conv3x3_fast(x, kernel, False, variant)
         else:
+            dn = (("NCHW", "HWIO", "NCHW") if nchw
+                  else ("NHWC", "HWIO", "NHWC"))
             y = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias.astype(y.dtype)
+                x, kernel, (1, 1), "SAME", dimension_numbers=dn)
+        b = bias.astype(y.dtype)
+        return y + (b[None, :, None, None] if nchw else b)
 
 
 class ConvBlock(nn.Module):
     """Conv3x3-BN-LeakyReLU, Dropout, Conv3x3-BN-LeakyReLU
-    (UAPS_unet.py:31-47)."""
+    (UAPS_unet.py:31-47). layout picks the activation layout; BN params
+    and batch_stats stay (C,) either way."""
     features: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = Conv3x3(self.features, self.dtype, name="Conv_0")(x)
+        bn_axis = 1 if self.layout == "nchw" else -1
+        x = Conv3x3(self.features, self.dtype, self.layout,
+                    name="Conv_0")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, axis=bn_axis,
         )(x)
         x = nn.leaky_relu(x)  # negative_slope 0.01 == torch default
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = Conv3x3(self.features, self.dtype, name="Conv_1")(x)
+        x = Conv3x3(self.features, self.dtype, self.layout,
+                    name="Conv_1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, axis=bn_axis,
         )(x)
         return nn.leaky_relu(x)
 
 
+def max_pool_2x2(x: jax.Array, layout: str) -> jax.Array:
+    if layout == "nchw":
+        # init must be the scalar literal -inf for jax to recognize the
+        # max-pool monoid (an array init kills the reverse-mode rule)
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
 class DownBlock(nn.Module):
-    """2x2 max-pool then ConvBlock (UAPS_unet.py:50-62)."""
+    """2x2 max-pool then ConvBlock (UAPS_unet.py:50-62).
+
+    in_layout is the incoming feature layout; the pool runs there, then
+    converts to `layout` (transposing AFTER the pool moves 4x fewer
+    bytes) before the ConvBlock."""
     features: int
     dropout_rate: float
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
+    in_layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return ConvBlock(self.features, self.dropout_rate, self.dtype)(
-            x, train=train
-        )
+        x = max_pool_2x2(x, self.in_layout)
+        if self.in_layout != self.layout:
+            x = to_nhwc(x) if self.layout == "nhwc" else to_nchw(x)
+        return ConvBlock(self.features, self.dropout_rate, self.dtype,
+                         self.layout)(x, train=train)
 
 
 def _align_corners_weights(n_in: int, n_out: int) -> jnp.ndarray:
@@ -141,14 +181,15 @@ def _align_corners_weights(n_in: int, n_out: int) -> jnp.ndarray:
     return jnp.asarray(w)
 
 
-def upsample2x_align_corners(x: jax.Array) -> jax.Array:
+def upsample2x_align_corners(x: jax.Array,
+                             layout: str = "nhwc") -> jax.Array:
     """2x bilinear upsample matching torch nn.Upsample(align_corners=True).
 
     Implemented as two dense interpolation matmuls (static shapes, so the
     weight matrices are compile-time constants and the contraction maps to
     the MXU) instead of gather-based resize.
     """
-    b, h, w, c = x.shape
+    h, w = x.shape[2:4] if layout == "nchw" else x.shape[1:3]
     wh = _align_corners_weights(h, 2 * h).astype(x.dtype)
     ww = _align_corners_weights(w, 2 * w).astype(x.dtype)
     # fp32: HIGHEST precision (default matmul precision truncates the
@@ -157,8 +198,35 @@ def upsample2x_align_corners(x: jax.Array) -> jax.Array:
     # the 6-pass fp32 MXU emulation and dominates the backward pass
     # (measured 104ms vs 31ms for the 4-decoder grad).
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    if layout == "nchw":
+        x = jnp.einsum("Hh,bchw->bcHw", wh, x, precision=prec)
+        return jnp.einsum("Ww,bcHw->bcHW", ww, x, precision=prec)
     x = jnp.einsum("Hh,bhwc->bHwc", wh, x, precision=prec)
     return jnp.einsum("Ww,bHwc->bHWc", ww, x, precision=prec)
+
+
+class PointwiseConv(nn.Module):
+    """1x1 conv with nn.Conv-compatible params ('kernel' [1,1,Cin,Cout] +
+    'bias'), usable in either layout (einsum for NCHW)."""
+    features: int
+    dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
+
+    @nn.compact
+    def __call__(self, x):
+        nchw = self.layout == "nchw"
+        cin = x.shape[1] if nchw else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel[0, 0].astype(self.dtype)
+        x = x.astype(self.dtype)
+        if nchw:
+            y = jnp.einsum("bchw,cd->bdhw", x, k)
+            return y + bias.astype(y.dtype)[None, :, None, None]
+        y = jnp.einsum("bhwc,cd->bhwd", x, k)
+        return y + bias.astype(y.dtype)
 
 
 class UpBlock(nn.Module):
@@ -175,60 +243,92 @@ class UpBlock(nn.Module):
     dropout_rate: float = 0.0
     bilinear: bool = True
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"     # layout of skip + this block's ConvBlock
+    x_layout: str = "nhwc"   # layout of the incoming coarse feature
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = False):
+        if self.x_layout != self.layout:
+            # convert at the COARSE resolution (4x fewer bytes than after
+            # upsampling)
+            x = to_nchw(x) if self.layout == "nchw" else to_nhwc(x)
         if self.bilinear:
-            x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype)(x)
-            x = upsample2x_align_corners(x)
+            x = PointwiseConv(self.skip_features, self.dtype, self.layout,
+                              name="Conv_0")(x)
+            x = upsample2x_align_corners(x, self.layout)
         else:
+            assert self.layout == "nhwc", \
+                "transposed-conv UpBlock supports NHWC only"
             x = nn.ConvTranspose(
                 self.skip_features, (2, 2), strides=(2, 2), dtype=self.dtype
             )(x)
         # reference concatenates [skip, upsampled] (torch.cat([x2, x1]))
-        x = jnp.concatenate([skip, x], axis=-1)
-        return ConvBlock(self.out_features, self.dropout_rate, self.dtype)(
-            x, train=train
-        )
+        ch_axis = 1 if self.layout == "nchw" else -1
+        x = jnp.concatenate([skip, x], axis=ch_axis)
+        return ConvBlock(self.out_features, self.dropout_rate, self.dtype,
+                         self.layout)(x, train=train)
+
+
+def _level_layout(level: int, nchw_levels: int) -> str:
+    return "nchw" if level < nchw_levels else "nhwc"
 
 
 class Encoder(nn.Module):
-    """5-stage encoder, returns all skip features (UAPS_unet.py:89-116)."""
+    """5-stage encoder, returns all skip features (UAPS_unet.py:89-116).
+
+    nchw_levels > 0 runs the first N resolution levels (level 0 = input
+    resolution) with NCHW activations so the Pallas conv kernels need no
+    boundary transposes; returned skip features are NCHW for those levels
+    and NHWC for the rest (Decoder consumes them accordingly)."""
     in_features: Tuple[int, ...] = UNET_FEATURES
     dropout: Tuple[float, ...] = UNET_DROPOUT
     dtype: Dtype = jnp.float32
+    nchw_levels: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # `train` is positional so nn.remat can declare it static
         ft, dp = self.in_features, self.dropout
-        x0 = ConvBlock(ft[0], dp[0], self.dtype, name="in_conv")(x, train=train)
-        x1 = DownBlock(ft[1], dp[1], self.dtype, name="down1")(x0, train=train)
-        x2 = DownBlock(ft[2], dp[2], self.dtype, name="down2")(x1, train=train)
-        x3 = DownBlock(ft[3], dp[3], self.dtype, name="down3")(x2, train=train)
-        x4 = DownBlock(ft[4], dp[4], self.dtype, name="down4")(x3, train=train)
-        return [x0, x1, x2, x3, x4]
+        lay = [_level_layout(i, self.nchw_levels) for i in range(5)]
+        if lay[0] == "nchw":
+            x = to_nchw(x)
+        feats = [ConvBlock(ft[0], dp[0], self.dtype, lay[0],
+                           name="in_conv")(x, train=train)]
+        for i in range(1, 5):
+            feats.append(DownBlock(
+                ft[i], dp[i], self.dtype, lay[i], lay[i - 1],
+                name=f"down{i}")(feats[-1], train=train))
+        return feats
 
 
 class Decoder(nn.Module):
-    """4 up-stages + 3x3 output conv -> logits (UAPS_unet.py:119-153)."""
+    """4 up-stages + 3x3 output conv -> logits (UAPS_unet.py:119-153).
+
+    nchw_levels mirrors the Encoder: up-stages producing levels below it
+    run NCHW (skips arrive NCHW from the Encoder), and the logits are
+    transposed back so the returned layout is always NHWC."""
     num_classes: int
     features: Tuple[int, ...] = UNET_FEATURES
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
+    nchw_levels: int = 0
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
         ft = self.features
         x0, x1, x2, x3, x4 = feats
-        x = UpBlock(ft[3], ft[3], 0.0, self.bilinear, self.dtype, name="up1")(
-            x4, x3, train=train)
-        x = UpBlock(ft[2], ft[2], 0.0, self.bilinear, self.dtype, name="up2")(
-            x, x2, train=train)
-        x = UpBlock(ft[1], ft[1], 0.0, self.bilinear, self.dtype, name="up3")(
-            x, x1, train=train)
-        x = UpBlock(ft[0], ft[0], 0.0, self.bilinear, self.dtype, name="up4")(
-            x, x0, train=train)
+        lay = [_level_layout(i, self.nchw_levels) for i in range(5)]
+        x = x4
+        skips = [x3, x2, x1, x0]
+        for j, skip in enumerate(skips):
+            out_level = 3 - j
+            x = UpBlock(ft[out_level], ft[out_level], 0.0, self.bilinear,
+                        self.dtype, lay[out_level], lay[out_level + 1],
+                        name=f"up{j + 1}")(x, skip, train=train)
+        if lay[0] == "nchw":
+            logits = Conv3x3(self.num_classes, jnp.float32, "nchw",
+                             name="out_conv")(x)
+            return to_nhwc(logits)
         logits = nn.Conv(
             self.num_classes, (3, 3), padding=1, dtype=jnp.float32,
             name="out_conv",
@@ -306,14 +406,16 @@ class UNet(nn.Module):
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
     remat: bool = False
+    nchw_levels: int = 0
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         enc_cls, dec_cls = _maybe_remat(self.remat)
         feats = enc_cls(self.features, self.dropout, self.dtype,
-                        name="encoder")(x, train)
+                        self.nchw_levels, name="encoder")(x, train)
         return dec_cls(self.num_classes, self.features, self.bilinear,
-                       self.dtype, name="decoder")(feats, train)
+                       self.dtype, self.nchw_levels,
+                       name="decoder")(feats, train)
 
 
 class MultiDecoderUNet(nn.Module):
@@ -342,17 +444,27 @@ class MultiDecoderUNet(nn.Module):
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
     remat: bool = False
+    nchw_levels: int = 0
 
     def setup(self):
         enc_cls, dec_cls = _maybe_remat(self.remat)
-        self.encoder = enc_cls(self.features, self.dropout, self.dtype)
+        self.encoder = enc_cls(self.features, self.dropout, self.dtype,
+                               self.nchw_levels)
         self.main_decoder = dec_cls(self.num_classes, self.features,
-                                    self.bilinear, self.dtype)
+                                    self.bilinear, self.dtype,
+                                    self.nchw_levels)
         self.aux_decoders = [
             dec_cls(self.num_classes, self.features, self.bilinear,
-                    self.dtype, name=f"aux_decoder{i + 1}")
+                    self.dtype, self.nchw_levels,
+                    name=f"aux_decoder{i + 1}")
             for i in range(len(self.perturbations))
         ]
+
+    @property
+    def feat_channel_axes(self):
+        """Per-skip-tensor feature axis (1 for NCHW levels, else -1)."""
+        return [1 if _level_layout(i, self.nchw_levels) == "nchw" else -1
+                for i in range(5)]
 
     def __call__(self, x, *, train: bool = False):
         feats = self.encoder(x, train)
@@ -360,9 +472,10 @@ class MultiDecoderUNet(nn.Module):
         if self.perturbations:
             key = self.make_rng("perturb")
             keys = jax.random.split(key, len(self.perturbations))
+            axes = self.feat_channel_axes
             for k, kind, dec in zip(keys, self.perturbations,
                                     self.aux_decoders):
-                pfeats = perturb_features(k, feats, kind)
+                pfeats = perturb_features(k, feats, kind, axes)
                 outputs.append(dec(pfeats, train))
         return tuple(outputs)
 

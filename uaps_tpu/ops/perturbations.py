@@ -39,18 +39,19 @@ def dropout(key: Array, x: Array, rate: float = 0.5) -> Array:
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
-def feature_dropout(key: Array, x: Array) -> Array:
+def feature_dropout(key: Array, x: Array, channel_axis: int = -1) -> Array:
     """Attention-thresholded channel-mean spatial dropout.
 
     Reference FeatureDropout (UAPS_unet.py:161-169): attention = channel
     mean; per-example spatial max of attention scaled by ONE scalar
     ~U(0.7, 0.9) shared across the batch (np.random.uniform in the
     reference); pixels with attention >= threshold are zeroed.
+    `channel_axis` selects the feature axis (-1 NHWC, 1 NCHW stages).
     """
-    attention = jnp.mean(x, axis=-1, keepdims=True)           # [B,H,W,1]
+    attention = jnp.mean(x, axis=channel_axis, keepdims=True)
     max_val = jnp.max(attention.reshape(x.shape[0], -1), axis=1)  # [B]
     scale = jax.random.uniform(key, (), dtype=x.dtype, minval=0.7, maxval=0.9)
-    threshold = (max_val * scale).reshape(-1, 1, 1, 1)
+    threshold = (max_val * scale).reshape((-1,) + (1,) * (x.ndim - 1))
     drop_mask = (attention < threshold).astype(x.dtype)
     return x * drop_mask
 
@@ -62,20 +63,27 @@ PERTURBATIONS = ("feature_noise", "dropout", "feature_dropout")
 
 
 def perturb_features(
-    key: Array, features: Sequence[Array], kind: str
+    key: Array, features: Sequence[Array], kind: str,
+    channel_axes: Sequence[int] | None = None,
 ) -> list[Array]:
     """Apply one perturbation kind to every skip tensor with split keys.
 
     The reference perturbs all five encoder features per aux decoder
-    (UAPS_unet.py:227-232, list comprehension per skip).
+    (UAPS_unet.py:227-232, list comprehension per skip). `channel_axes`
+    gives the feature axis per tensor (default -1 everywhere; NCHW model
+    stages pass 1 for their levels — noise/dropout are axis-agnostic,
+    only feature_dropout's channel mean cares).
     """
     keys = jax.random.split(key, len(features))
+    axes = (list(channel_axes) if channel_axes is not None
+            else [-1] * len(features))
     if kind == "feature_noise":
         return [feature_noise(k, f) for k, f in zip(keys, features)]
     if kind == "dropout":
         return [dropout(k, f) for k, f in zip(keys, features)]
     if kind == "feature_dropout":
-        return [feature_dropout(k, f) for k, f in zip(keys, features)]
+        return [feature_dropout(k, f, a)
+                for k, f, a in zip(keys, features, axes)]
     if kind == "none":
         return list(features)
     raise ValueError(f"unknown perturbation kind: {kind!r}")

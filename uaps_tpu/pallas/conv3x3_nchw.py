@@ -412,3 +412,46 @@ def _vjp_bwd(interpret, variant, res, g):
 
 
 conv3x3_fast.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _xla_conv_nchw(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "HWIO", "NCHW"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3_fast_nchw(x: jax.Array, w: jax.Array,
+                      interpret: bool = False,
+                      variant: str = "taps") -> jax.Array:
+    """NCHW-native differentiable conv — NO boundary transposes.
+
+    Profiling the full UAPS step showed the NHWC wrapper's layout
+    transposes are NOT elided in context (XLA materializes ~460us 64MB
+    'data formatting' copies around every pallas custom call, ~21 ms per
+    step total); model stages that keep activations NCHW call this
+    directly."""
+    return conv3x3_nchw(x, w, interpret, variant)
+
+
+def _vjp_fwd_nchw(x, w, interpret, variant):
+    return conv3x3_fast_nchw(x, w, interpret, variant), (x, w)
+
+
+def _vjp_bwd_nchw(interpret, variant, res, g):
+    import os
+    x, w = res
+    cin = w.shape[2]
+    g = g.astype(x.dtype)
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    max_cin = int(os.environ.get("UAPS_CONV_BWD_PALLAS_MAX_CIN", "9999"))
+    if cin <= max_cin or interpret:
+        dx = conv3x3_fast_nchw(g, w_rot, interpret, variant)
+        dw = conv3x3_nchw_wgrad(x, g, interpret, variant).astype(w.dtype)
+    else:
+        dx = _xla_conv_nchw(g, w_rot.astype(g.dtype))
+        _, wvjp = jax.vjp(lambda ww: _xla_conv_nchw(x, ww), w)
+        dw = wvjp(g.astype(x.dtype))[0]
+    return dx, dw
+
+
+conv3x3_fast_nchw.defvjp(_vjp_fwd_nchw, _vjp_bwd_nchw)

@@ -8,10 +8,11 @@ inserted by XLA as ICI collectives.
 from uaps_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_batch_stacked,
     replicate_state,
     batch_sharding,
     distributed_init,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate_state", "batch_sharding",
-           "distributed_init"]
+__all__ = ["make_mesh", "shard_batch", "shard_batch_stacked",
+           "replicate_state", "batch_sharding", "distributed_init"]

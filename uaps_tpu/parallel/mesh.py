@@ -72,3 +72,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     or sizes batches accordingly)."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_batch_stacked(batches: Any, mesh: Mesh) -> Any:
+    """Place a [K, B, ...] stack of K batches (for a lax.scan multi-step
+    dispatch) with the batch axis (axis 1) sharded over 'data'."""
+    if "spatial" in mesh.axis_names:
+        sh = NamedSharding(mesh, P(None, "data", "spatial"))
+    else:
+        sh = NamedSharding(mesh, P(None, "data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batches)

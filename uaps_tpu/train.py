@@ -27,7 +27,7 @@ import numpy as np
 
 from uaps_tpu.methods import get_method, base as method_base
 from uaps_tpu.parallel import make_mesh, replicate_state, shard_batch, \
-    distributed_init
+    shard_batch_stacked, distributed_init
 from uaps_tpu.utils.checkpoint import CheckpointManager
 from uaps_tpu.utils.config import Config, preset
 from uaps_tpu.utils.logging_utils import get_logger, MetricWriter
@@ -104,6 +104,16 @@ class Trainer:
         else:
             step_fn = self.method.make_train_step(cfg, self.model, self.tx)
             self.train_step = jax.jit(step_fn, donate_argnums=0)
+        # K-step scan per dispatch (RunConfig.steps_per_dispatch):
+        # identical updates, one host round-trip per K steps
+        self.k_dispatch = max(1, cfg.run.steps_per_dispatch)
+        if cfg.run.profile_steps or (
+                cfg.run.use_shard_map and self.mesh.devices.size > 1):
+            self.k_dispatch = 1
+        if self.k_dispatch > 1:
+            def multi(state, batches):
+                return jax.lax.scan(step_fn, state, batches)
+            self.train_step_scan = jax.jit(multi, donate_argnums=0)
         self.eval_step = method_base.make_eval_step(cfg, self.model)
         self.scheduler = method_base.PlateauScheduler(cfg.optim)
         self.ckpt = CheckpointManager(
@@ -172,7 +182,19 @@ class Trainer:
         for epoch in range(start_epoch + 1, cfg.run.epochs + 1):
             t0 = time.time()
             epoch_metrics = []
-            for it in range(cfg.run.iter_per_epoch):
+            it = 0
+            while it < cfg.run.iter_per_epoch:
+                k = min(self.k_dispatch, cfg.run.iter_per_epoch - it)
+                if k > 1 and k == self.k_dispatch:
+                    raw = [next(stream) for _ in range(k)]
+                    stacked = jax.tree.map(
+                        lambda *xs: np.stack(xs), *raw)
+                    batches = shard_batch_stacked(stacked, self.mesh)
+                    self.state, metrics = self.train_step_scan(
+                        self.state, batches)     # metrics: [K]-arrays
+                    epoch_metrics.append(metrics)
+                    it += k
+                    continue
                 batch = shard_batch(next(stream), self.mesh)
                 if (cfg.run.profile_steps
                         and epoch == 1 and it == cfg.run.profile_steps[0]):
@@ -184,10 +206,13 @@ class Trainer:
                         and epoch == 1 and it == cfg.run.profile_steps[1]):
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
+                it += 1
             # single device->host sync per epoch
             epoch_metrics = jax.device_get(epoch_metrics)
             means = {
-                k: float(np.nanmean([m[k] for m in epoch_metrics]))
+                k: float(np.nanmean(np.concatenate(
+                    [np.atleast_1d(np.asarray(m[k], np.float64))
+                     for m in epoch_metrics])))
                 for k in epoch_metrics[0]
             }
             steps = cfg.run.iter_per_epoch
@@ -284,6 +309,9 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder/decoder segments (fits "
                         "fp32 bs16 256x256 in 16G HBM)")
+    p.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="K>1 runs K steps per dispatch via lax.scan "
+                        "(identical updates, amortized dispatch)")
     args, _ = p.parse_known_args(argv)
 
     if args.preset == "synthetic":
@@ -317,6 +345,7 @@ def parse_args(argv=None) -> Config:
                 iter_per_epoch=args.iter_per_epoch, seed=args.seed,
                 out_dir=args.out_dir, prng_impl=args.prng_impl,
                 use_shard_map=args.shard_map or None,
+                steps_per_dispatch=args.steps_per_dispatch,
                 debug_nans=args.debug_nans or None),
     )
     return cfg, args

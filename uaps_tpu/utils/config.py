@@ -49,6 +49,10 @@ class ModelConfig:
     # run the 1+n_aux decoders as ONE vmapped decoder over stacked params
     # (semantics-preserving; see models/unet.py stacked_decoder_apply)
     stack_decoders: bool = False
+    # run the first N resolution levels with NCHW activations so the
+    # pallas conv kernels need no boundary transposes (profiled at
+    # ~21 ms/step of layout copies) — semantics-preserving
+    nchw_levels: int = 2
 
 
 @dataclasses.dataclass
@@ -110,6 +114,10 @@ class RunConfig:
     halt_on_nan: bool = True  # failure detection: stop on non-finite loss
     debug_nans: bool = False
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)
+    # K > 1 runs K train steps per dispatch via lax.scan over stacked
+    # batches — semantically identical updates, amortizes the per-dispatch
+    # host round-trip (~5 ms on the tunneled v5e relay)
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass

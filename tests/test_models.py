@@ -248,3 +248,35 @@ class TestNchwIslands:
 
         g = jax.grad(loss)(vv["params"])
         assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+class TestStatsBatchNorm:
+    """NCHW ConvBlock (kernel-provided BN moments) must match the NHWC
+    nn.BatchNorm path exactly: outputs, updated running stats, eval."""
+
+    def test_train_eval_parity_with_nhwc(self):
+        from uaps_tpu.models.unet import ConvBlock, to_nchw, to_nhwc
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 16, 32, 8)),
+            jnp.float32)
+        bh = ConvBlock(8, 0.0, jnp.float32, "nhwc")
+        bc = ConvBlock(8, 0.0, jnp.float32, "nchw", bn_stats=True)
+        v = bh.init({"params": jax.random.key(0)}, x, train=False)
+        yh, mh = bh.apply(v, x, train=True, mutable=["batch_stats"])
+        yc, mc = bc.apply(v, to_nchw(x), train=True,
+                          mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yh),
+                                   np.asarray(to_nhwc(yc)),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(mh["batch_stats"]),
+                        jax.tree.leaves(mc["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        y2h = bh.apply({"params": v["params"],
+                        "batch_stats": mh["batch_stats"]}, x, train=False)
+        y2c = bc.apply({"params": v["params"],
+                        "batch_stats": mc["batch_stats"]}, to_nchw(x),
+                       train=False)
+        np.testing.assert_allclose(np.asarray(y2h),
+                                   np.asarray(to_nhwc(y2c)),
+                                   rtol=1e-4, atol=1e-5)

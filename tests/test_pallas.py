@@ -199,3 +199,49 @@ class TestFusedCeDice:
         np.testing.assert_allclose(np.asarray(jax.grad(lk)(logits)),
                                    np.asarray(jax.grad(lr)(logits)),
                                    rtol=1e-4, atol=1e-8)
+
+
+class TestConvStats:
+    """conv3x3_nchw_stats: per-channel moments from the kernel accumulator
+    + analytic VJP folding (dy_eff = dy + ds1 + 2 y ds2)."""
+
+    def test_moments_match_reference(self, rng):
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_nchw_stats
+        x = jnp.asarray(rng.standard_normal((2, 16, 32, 256)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        y, s1, s2 = conv3x3_nchw_stats(x, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1),
+                                   np.asarray(ref.sum((0, 2, 3))),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2),
+                                   np.asarray((ref * ref).sum((0, 2, 3))),
+                                   rtol=1e-5)
+
+    def test_vjp_matches_reference(self, rng):
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw_stats
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1,
+                        jnp.float32)
+
+        def f(x, w):
+            y, s1, s2 = conv3x3_fast_nchw_stats(x, w, True)
+            return (y ** 2).mean() + 0.3 * s1.sum() + 0.1 * s2.sum()
+
+        def fr(x, w):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "HWIO", "NCHW"))
+            return (y ** 2).mean() + 0.3 * y.sum() + 0.1 * (y * y).sum()
+
+        gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(fr, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-4, atol=1e-5)

@@ -69,7 +69,11 @@ class Conv3x3(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
+        """return_stats=True (NCHW only) additionally returns the
+        per-channel f32 (sum, sumsq, n) of the BIASED output over
+        (B, H, W), computed for free in the kernel's accumulator —
+        StatsBatchNorm consumes them instead of re-reducing the tensor."""
         nchw = self.layout == "nchw"
         cin = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
@@ -86,10 +90,16 @@ class Conv3x3(nn.Module):
             and h >= 128 and w >= 128 and h % 8 == 0 and w % 128 == 0
             and self.features <= 32 and cin <= 64
         )
+        stats = None
         if use_pallas:
             import os
             variant = os.environ.get("UAPS_CONV_VARIANT", "taps")
-            if nchw:
+            if nchw and return_stats and variant == "taps":
+                from uaps_tpu.pallas.conv3x3_nchw import \
+                    conv3x3_fast_nchw_stats
+                y, s1, s2 = conv3x3_fast_nchw_stats(x, kernel)
+                stats = (s1, s2)
+            elif nchw:
                 from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
                 y = conv3x3_fast_nchw(x, kernel, False, variant)
             else:
@@ -101,36 +111,94 @@ class Conv3x3(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1), "SAME", dimension_numbers=dn)
         b = bias.astype(y.dtype)
-        return y + (b[None, :, None, None] if nchw else b)
+        out = y + (b[None, :, None, None] if nchw else b)
+        if not return_stats:
+            return out
+        assert nchw, "return_stats supports NCHW only"
+        n = x.shape[0] * h * w
+        if stats is None:
+            yf = y.astype(jnp.float32)
+            stats = (yf.sum(axis=(0, 2, 3)), (yf * yf).sum(axis=(0, 2, 3)))
+        # fold the bias into the moments (per-channel scalar algebra):
+        # sum(y+b) = s1 + n b ; sum((y+b)^2) = s2 + 2 b s1 + n b^2
+        s1, s2 = stats
+        bf = bias.astype(jnp.float32)
+        s1b = s1 + n * bf
+        s2b = s2 + 2.0 * bf * s1 + n * bf * bf
+        return out, s1b, s2b, n
+
+
+class StatsBatchNorm(nn.Module):
+    """BatchNorm over an NCHW tensor whose batch moments arrive
+    precomputed (from the conv kernel's f32 accumulator). Param tree and
+    batch_stats collection are IDENTICAL to nn.BatchNorm (scale/bias +
+    mean/var), and the math mirrors flax _compute_stats: f32, fast
+    variance E[x^2]-E[x]^2, negative variance clipped to 0."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, s1, s2, n, *, train: bool = False):
+        c = x.shape[1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        factor = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(
+            self.dtype)[None, :, None, None]
+        shift = (bias - mean * jax.lax.rsqrt(var + self.epsilon) * scale
+                 ).astype(self.dtype)[None, :, None, None]
+        return x.astype(self.dtype) * factor + shift
 
 
 class ConvBlock(nn.Module):
     """Conv3x3-BN-LeakyReLU, Dropout, Conv3x3-BN-LeakyReLU
     (UAPS_unet.py:31-47). layout picks the activation layout; BN params
-    and batch_stats stay (C,) either way."""
+    and batch_stats stay (C,) either way. bn_stats=True sources the BN
+    moments from the conv kernel's accumulator (StatsBatchNorm) — kept as
+    an ablation: it removes the ~10 ms/step of convert_reduce fusions but
+    the in-kernel moment pass + the analytic-VJP dy folding cost MORE
+    (measured 113.3 vs 107.6 ms/step), so the default stays off."""
     features: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
+    bn_stats: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        bn_axis = 1 if self.layout == "nchw" else -1
-        x = Conv3x3(self.features, self.dtype, self.layout,
-                    name="Conv_0")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, axis=bn_axis,
-        )(x)
+        nchw = self.layout == "nchw"
+
+        def conv_bn(x, conv_name, bn_name):
+            if nchw and self.bn_stats:
+                y, s1, s2, n = Conv3x3(self.features, self.dtype, "nchw",
+                                       name=conv_name)(x, True)
+                return StatsBatchNorm(momentum=0.9, epsilon=1e-5,
+                                      dtype=self.dtype, name=bn_name)(
+                    y, s1, s2, n, train=train)
+            y = Conv3x3(self.features, self.dtype, self.layout,
+                        name=conv_name)(x)
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, axis=1 if nchw else -1, name=bn_name)(y)
+
+        x = conv_bn(x, "Conv_0", "BatchNorm_0")
         x = nn.leaky_relu(x)  # negative_slope 0.01 == torch default
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = Conv3x3(self.features, self.dtype, self.layout,
-                    name="Conv_1")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, axis=bn_axis,
-        )(x)
+        x = conv_bn(x, "Conv_1", "BatchNorm_1")
         return nn.leaky_relu(x)
 
 

@@ -455,3 +455,101 @@ def _vjp_bwd_nchw(interpret, variant, res, g):
 
 
 conv3x3_fast_nchw.defvjp(_vjp_fwd_nchw, _vjp_bwd_nchw)
+
+
+def _fwd_kernel_stats(x_ref, w_ref, o_ref, s1_ref, s2_ref, *,
+                      slab, width, cin, cout):
+    """taps kernel + per-channel moment outputs: the f32 accumulator is
+    already in VMEM, so emitting sum and sum-of-squares per channel makes
+    the following BatchNorm's statistics pass FREE (profiled at ~10 ms
+    per step of bf16->f32 convert_reduce fusions otherwise)."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    x = x_ref[0]
+    acc = jnp.zeros((cout, slab * width), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab, dw:dw + width]
+            xr = xs.reshape(cin, slab * width)
+            k = w_ref[dh * 3 + dw]
+            acc = acc + jax.lax.dot_general(
+                k, xr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
+    s1_ref[...] += acc.sum(axis=1)[None]
+    s2_ref[...] += (acc * acc).sum(axis=1)[None]
+
+
+def conv3x3_nchw_stats(x: jax.Array, w: jax.Array,
+                       interpret: bool = False):
+    """x [B, Cin, H, W], w [3,3,Cin,Cout] ->
+    (y [B,Cout,H,W], s1 [Cout] f32, s2 [Cout] f32) where s1/s2 are the
+    per-channel sum / sum-of-squares of y over (B, H, W)."""
+    b, cin, h, width = x.shape
+    cout = w.shape[-1]
+    slab = _pick_slab(h)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    wp = w.reshape(9, cin, cout).astype(x.dtype)
+    kernel = functools.partial(_fwd_kernel_stats, slab=slab, width=width,
+                               cin=cin, cout=cout)
+    y, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=(b, h // slab),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(cin),
+                          pl.Element(slab + 8), pl.Element(width + 2)),
+                         lambda bi, si: (bi, 0, si * slab, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cout, slab, width),
+                         lambda bi, si: (bi, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, si: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, si: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cout, h, width), x.dtype),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, wp)
+    return y, s1[0], s2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_fast_nchw_stats(x: jax.Array, w: jax.Array,
+                            interpret: bool = False):
+    """Differentiable (y, s1, s2) conv. The moment outputs are linear /
+    quadratic in y, so their cotangents fold into dy analytically:
+    dy_eff = dy + ds1[c] + 2 y ds2[c]."""
+    return conv3x3_nchw_stats(x, w, interpret)
+
+
+def _vjp_fwd_stats(x, w, interpret):
+    y, s1, s2 = conv3x3_fast_nchw_stats(x, w, interpret)
+    return (y, s1, s2), (x, w, y)
+
+
+def _vjp_bwd_stats(interpret, res, cts):
+    x, w, y = res
+    dy, ds1, ds2 = cts
+    dy_eff = (dy.astype(jnp.float32)
+              + ds1.astype(jnp.float32)[None, :, None, None]
+              + 2.0 * y.astype(jnp.float32)
+              * ds2.astype(jnp.float32)[None, :, None, None]
+              ).astype(x.dtype)
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv3x3_fast_nchw(dy_eff, w_rot, interpret)
+    dw = conv3x3_nchw_wgrad(x, dy_eff, interpret).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3_fast_nchw_stats.defvjp(_vjp_fwd_stats, _vjp_bwd_stats)

@@ -67,6 +67,7 @@ class Conv3x3(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
+    out_dtype: Any = None  # e.g. f32 logits from bf16 compute (NCHW only)
 
     @nn.compact
     def __call__(self, x, return_stats: bool = False):
@@ -101,7 +102,8 @@ class Conv3x3(nn.Module):
                 stats = (s1, s2)
             elif nchw:
                 from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
-                y = conv3x3_fast_nchw(x, kernel, False, variant)
+                y = conv3x3_fast_nchw(x, kernel, False, variant,
+                                      self.out_dtype)
             else:
                 from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast
                 y = conv3x3_fast(x, kernel, False, variant)
@@ -109,7 +111,8 @@ class Conv3x3(nn.Module):
             dn = (("NCHW", "HWIO", "NCHW") if nchw
                   else ("NHWC", "HWIO", "NHWC"))
             y = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), "SAME", dimension_numbers=dn)
+                x, kernel, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=self.out_dtype)
         b = bias.astype(y.dtype)
         out = y + (b[None, :, None, None] if nchw else b)
         if not return_stats:
@@ -394,8 +397,10 @@ class Decoder(nn.Module):
                         self.dtype, lay[out_level], lay[out_level + 1],
                         name=f"up{j + 1}")(x, skip, train=train)
         if lay[0] == "nchw":
-            logits = Conv3x3(self.num_classes, jnp.float32, "nchw",
-                             name="out_conv")(x)
+            # bf16 inputs/weights, f32 logits straight from the kernel's
+            # f32 accumulator (f32-in out_conv profiled 2x slower)
+            logits = Conv3x3(self.num_classes, self.dtype, "nchw",
+                             out_dtype=jnp.float32, name="out_conv")(x)
             return to_nhwc(logits)
         logits = nn.Conv(
             self.num_classes, (3, 3), padding=1, dtype=jnp.float32,

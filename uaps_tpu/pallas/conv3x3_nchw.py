@@ -111,14 +111,19 @@ def _fwd_kernel_dhdw(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
 
 def conv3x3_nchw(x: jax.Array, w: jax.Array,
                  interpret: bool = False,
-                 variant: str = "im2col") -> jax.Array:
+                 variant: str = "taps",
+                 out_dtype=None) -> jax.Array:
     """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
     (SAME, stride 1). variant: 'im2col' (one full-depth MXU matmul) or
-    'taps' (nine K=Cin matmuls, the original round-1 kernel)."""
+    'taps' (nine K=Cin matmuls, the default). out_dtype lets bf16 inputs
+    produce f32 outputs straight from the f32 accumulator (the logits
+    head: full output precision at bf16 DMA/matmul cost — the f32-in
+    out_conv was profiled at 0.9 ms/call vs ~0.45 for bf16-in)."""
     if variant == "fullh":
         return conv3x3_nchw_fullh(x, w, interpret)
     b, cin, h, width = x.shape
     cout = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
     slab = _pick_slab(h)
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
     if variant == "dhdw":
@@ -148,7 +153,7 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         out_specs=pl.BlockSpec((1, cout, slab, width),
                                lambda bi, si: (bi, 0, si, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, cout, h, width), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, cout, h, width), out_dtype),
         interpret=interpret,
     )(xp, wp)
 
@@ -419,10 +424,11 @@ def _xla_conv_nchw(x: jax.Array, w: jax.Array) -> jax.Array:
         x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "HWIO", "NCHW"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def conv3x3_fast_nchw(x: jax.Array, w: jax.Array,
                       interpret: bool = False,
-                      variant: str = "taps") -> jax.Array:
+                      variant: str = "taps",
+                      out_dtype=None) -> jax.Array:
     """NCHW-native differentiable conv — NO boundary transposes.
 
     Profiling the full UAPS step showed the NHWC wrapper's layout
@@ -430,14 +436,14 @@ def conv3x3_fast_nchw(x: jax.Array, w: jax.Array,
     'data formatting' copies around every pallas custom call, ~21 ms per
     step total); model stages that keep activations NCHW call this
     directly."""
-    return conv3x3_nchw(x, w, interpret, variant)
+    return conv3x3_nchw(x, w, interpret, variant, out_dtype)
 
 
-def _vjp_fwd_nchw(x, w, interpret, variant):
-    return conv3x3_fast_nchw(x, w, interpret, variant), (x, w)
+def _vjp_fwd_nchw(x, w, interpret, variant, out_dtype):
+    return conv3x3_fast_nchw(x, w, interpret, variant, out_dtype), (x, w)
 
 
-def _vjp_bwd_nchw(interpret, variant, res, g):
+def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
     import os
     x, w = res
     cin = w.shape[2]

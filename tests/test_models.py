@@ -280,3 +280,24 @@ class TestStatsBatchNorm:
         np.testing.assert_allclose(np.asarray(y2h),
                                    np.asarray(to_nhwc(y2c)),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_bf16_low_res_grad(self):
+        """bf16 compute + f32 out_dtype on the XLA fallback path (low-res
+        shapes where pallas doesn't dispatch) must stay differentiable —
+        regression: preferred_element_type broke the conv autodiff rule."""
+        from uaps_tpu.models.unet import UNet
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 32, 32, 3)),
+            jnp.float32)
+        m = UNet(num_classes=4, nchw_levels=2, dtype=jnp.bfloat16)
+        v = m.init({"params": jax.random.key(0),
+                    "dropout": jax.random.key(1)}, x, train=True)
+
+        def loss(p):
+            y = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                        train=True, rngs={"dropout": jax.random.key(3)},
+                        mutable=["batch_stats"])[0]
+            return y.astype(jnp.float32).mean()
+
+        g = jax.grad(loss)(v["params"])
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))

@@ -110,9 +110,14 @@ class Conv3x3(nn.Module):
         else:
             dn = (("NCHW", "HWIO", "NCHW") if nchw
                   else ("NHWC", "HWIO", "NHWC"))
+            if self.out_dtype is not None and self.out_dtype != x.dtype:
+                # preferred_element_type breaks conv autodiff with mixed
+                # dtypes; just run the fallback conv in the wider dtype
+                # (only small / low-res shapes land here)
+                x = x.astype(self.out_dtype)
+                kernel = kernel.astype(self.out_dtype)
             y = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), "SAME", dimension_numbers=dn,
-                preferred_element_type=self.out_dtype)
+                x, kernel, (1, 1), "SAME", dimension_numbers=dn)
         b = bias.astype(y.dtype)
         out = y + (b[None, :, None, None] if nchw else b)
         if not return_stats:

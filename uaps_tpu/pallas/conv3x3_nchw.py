@@ -112,7 +112,7 @@ def _fwd_kernel_dhdw(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
 def conv3x3_nchw(x: jax.Array, w: jax.Array,
                  interpret: bool = False,
                  variant: str = "taps",
-                 out_dtype=None) -> jax.Array:
+                 out_dtype=None, prepadded: bool = False) -> jax.Array:
     """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
     (SAME, stride 1). variant: 'im2col' (one full-depth MXU matmul) or
     'taps' (nine K=Cin matmuls, the default). out_dtype lets bf16 inputs
@@ -122,10 +122,12 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
     if variant == "fullh":
         return conv3x3_nchw_fullh(x, w, interpret)
     b, cin, h, width = x.shape
+    if prepadded:
+        h, width = h - 8, width - 2
     cout = w.shape[-1]
     out_dtype = out_dtype or x.dtype
     slab = _pick_slab(h)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    xp = x if prepadded else jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
     if variant == "dhdw":
         # W2[dh*Co+co, dw*C+c] = w[dh, dw, c, co]
         wp = w.transpose(0, 3, 1, 2).reshape(3 * cout, 3 * cin).astype(
@@ -218,14 +220,17 @@ def _wgrad_kernel_dhdw(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
 
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        interpret: bool = False,
-                       variant: str = "im2col") -> jax.Array:
+                       variant: str = "im2col",
+                       prepadded: bool = False) -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
     if variant == "fullh":
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
     b, cin, h, width = x.shape
+    if prepadded:
+        h, width = h - 8, width - 2
     cout = g.shape[1]
     slab = _pick_slab(h)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    xp = x if prepadded else jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
     kernel = functools.partial(
         {"im2col": _wgrad_kernel_im2col, "dhdw": _wgrad_kernel_dhdw,
          "taps": _wgrad_kernel}[variant],
@@ -440,20 +445,27 @@ def conv3x3_fast_nchw(x: jax.Array, w: jax.Array,
 
 
 def _vjp_fwd_nchw(x, w, interpret, variant, out_dtype):
-    return conv3x3_fast_nchw(x, w, interpret, variant, out_dtype), (x, w)
+    # Pad once and keep the PADDED tensor as the residual: the wgrad
+    # would otherwise re-pad x in the backward (profiled ~2.3 ms/step of
+    # duplicate pad copies). XLA CSEs the forward's pad with this one.
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    y = conv3x3_nchw(xp, w, interpret, variant, out_dtype, prepadded=True)
+    return y, (xp, w)
 
 
 def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
     import os
-    x, w = res
+    xp, w = res
     cin = w.shape[2]
-    g = g.astype(x.dtype)
+    g = g.astype(xp.dtype)
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     max_cin = int(os.environ.get("UAPS_CONV_BWD_PALLAS_MAX_CIN", "9999"))
     if cin <= max_cin or interpret:
         dx = conv3x3_fast_nchw(g, w_rot, interpret, variant)
-        dw = conv3x3_nchw_wgrad(x, g, interpret, variant).astype(w.dtype)
+        dw = conv3x3_nchw_wgrad(xp, g, interpret, variant,
+                                prepadded=True).astype(w.dtype)
     else:
+        x = xp[:, :, 4:-4, 1:-1]
         dx = _xla_conv_nchw(g, w_rot.astype(g.dtype))
         _, wvjp = jax.vjp(lambda ww: _xla_conv_nchw(x, ww), w)
         dw = wvjp(g.astype(x.dtype))[0]
@@ -541,20 +553,22 @@ def conv3x3_fast_nchw_stats(x: jax.Array, w: jax.Array,
 
 def _vjp_fwd_stats(x, w, interpret):
     y, s1, s2 = conv3x3_fast_nchw_stats(x, w, interpret)
-    return (y, s1, s2), (x, w, y)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    return (y, s1, s2), (xp, w, y)
 
 
 def _vjp_bwd_stats(interpret, res, cts):
-    x, w, y = res
+    xp, w, y = res
     dy, ds1, ds2 = cts
     dy_eff = (dy.astype(jnp.float32)
               + ds1.astype(jnp.float32)[None, :, None, None]
               + 2.0 * y.astype(jnp.float32)
               * ds2.astype(jnp.float32)[None, :, None, None]
-              ).astype(x.dtype)
+              ).astype(xp.dtype)
     w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     dx = conv3x3_fast_nchw(dy_eff, w_rot, interpret)
-    dw = conv3x3_nchw_wgrad(x, dy_eff, interpret).astype(w.dtype)
+    dw = conv3x3_nchw_wgrad(xp, dy_eff, interpret,
+                            prepadded=True).astype(w.dtype)
     return dx, dw
 
 

@@ -109,6 +109,10 @@ def measure_torch_cpu() -> float:
             log(f"torch baseline (cached): {cached['imgs_per_sec']:.2f}")
             return cached["imgs_per_sec"]
 
+    # torch reads OMP_NUM_THREADS at import: force full threads BEFORE
+    # importing, or an inherited OMP_NUM_THREADS=1 silently measures a
+    # single-threaded baseline (caught once: 0.20 vs the fair 0.55)
+    os.environ.setdefault("OMP_NUM_THREADS", str(os.cpu_count() or 8))
     import numpy as np
     import torch
     import torch.nn as nn

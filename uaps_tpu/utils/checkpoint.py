@@ -43,11 +43,26 @@ class CheckpointManager:
         self._mngr.wait_until_finished()
 
     def restore(self, abstract_state: Any, step: Optional[int] = None):
-        """Restore (state, host_state); step=None -> latest."""
+        """Restore (state, host_state); step=None -> latest.
+
+        Abstract leaves get an explicit single-device sharding for the
+        CURRENT backend: without it orbax falls back to the sharding
+        recorded at save time, which fails when restoring a TPU-written
+        checkpoint on CPU (or vice versa)."""
         if step is None:
             step = self._mngr.latest_step()
         if step is None:
             return None, None
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def _with_sharding(leaf):
+            if isinstance(leaf, jax.ShapeDtypeStruct) and \
+                    leaf.sharding is None:
+                return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                            sharding=sharding)
+            return leaf
+
+        abstract_state = jax.tree.map(_with_sharding, abstract_state)
         restored = self._mngr.restore(
             step,
             args=ocp.args.Composite(

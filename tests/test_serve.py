@@ -60,3 +60,38 @@ class TestInferenceEngine:
         imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
         masks, _ = eng.predict(imgs)
         assert masks.shape == (2, 32, 32)
+
+
+class TestFromTorch:
+    def test_serve_reference_pth_directly(self, tmp_path):
+        """Reference-format .pth (UAPS_train.py:442-450 layout) straight
+        into the inference engine — the reference user's serving path."""
+        import sys
+        import torch
+        sys.path.insert(0, "/root/reference")
+        from utilities.UAPS_unet import UNet_UAPS
+
+        tm = UNet_UAPS(3, 4)
+        tm.eval()
+        path = str(tmp_path / "ref.pth")
+        torch.save({"epoch": 1, "state_dict": tm.state_dict()}, path)
+
+        cfg = preset("synthetic", method="uaps")
+        cfg.data = dataclasses.replace(cfg.data, image_size=(32, 32),
+                                       batch_size=2)
+        eng = InferenceEngine.from_torch(cfg, path)
+        imgs = np.random.default_rng(0).integers(
+            0, 255, (2, 32, 32, 3)).astype(np.uint8)
+        masks, probs = eng.predict(imgs)
+        assert masks.shape == (2, 32, 32)
+        assert np.isfinite(probs).all()
+
+        # parity: same input through the torch model agrees on argmax
+        x = (imgs.astype(np.float32) / 255.0 - np.asarray(cfg.data.mean)) \
+            / np.asarray(cfg.data.std)
+        with torch.no_grad():
+            feats = tm.encoder(torch.from_numpy(
+                x.transpose(0, 3, 1, 2)).float())
+            tlogits = tm.main_decoder(feats).numpy().transpose(0, 2, 3, 1)
+        agree = (tlogits.argmax(-1) == masks).mean()
+        assert agree > 0.99, agree

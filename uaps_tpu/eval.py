@@ -39,7 +39,14 @@ def colorize(mask: np.ndarray) -> np.ndarray:
 
 
 def evaluate(cfg, ckpt_dir: str, split: str = "test",
-             save_viz: str = "", use_best: bool = True) -> Dict[str, float]:
+             save_viz: str = "", use_best: bool = True,
+             which: str = "model1", tta: bool = False) -> Dict[str, float]:
+    """`which` selects the weights to score: 'model1' (default),
+    'model2' (the CPS second net, reference CPS_train.py:352-377 evaluates
+    and checkpoints both), or 'ema' (the MT/UAMT mean-teacher weights).
+    `tta` enables test-time augmentation: BaseNet models use their
+    multi-scale flip harness (reference utilities/base.py:23-46); U-Net
+    family models average softmax over the 4 H/V flips."""
     method = get_method(cfg.method.name)
     state, model = method.init_state(cfg, jax.random.key(cfg.run.seed))
     ckpt = CheckpointManager(os.path.abspath(ckpt_dir))
@@ -51,20 +58,55 @@ def evaluate(cfg, ckpt_dir: str, split: str = "test",
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     state = restored
     print(f"loaded checkpoint step {step} from {ckpt_dir}")
+    if which == "model2":
+        if state.second is None:
+            raise ValueError(
+                f"--model2: method {cfg.method.name!r} carries no second "
+                "model state (only CPS does)")
+        eval_params = state.second.params
+        eval_bstats = state.second.batch_stats
+    elif which == "ema":
+        if state.ema_params is None:
+            raise ValueError(
+                f"--eval_ema: method {cfg.method.name!r} carries no EMA "
+                "teacher (only MT/UAMT do)")
+        eval_params = state.ema_params
+        eval_bstats = state.ema_batch_stats or state.batch_stats
+    else:
+        eval_params = state.params
+        eval_bstats = state.batch_stats
 
     n_classes = cfg.data.num_classes
     has_main_only = hasattr(model, "main_only")
+    is_basenet = cfg.model.name.startswith("basenet")
+
+    def _forward(variables, image):
+        if has_main_only:
+            return model.apply(variables, image, train=False,
+                               method=model.main_only)
+        out = model.apply(variables, image, train=False)
+        return out["dp0"] if isinstance(out, dict) else out
 
     @jax.jit
     def predict(params, batch_stats, image):
+        """Returns class scores [B,H,W,C] (logits, or softmax sums under
+        TTA — argmax/metrics semantics are identical)."""
         variables = {"params": params, "batch_stats": batch_stats}
-        if has_main_only:
-            logits = model.apply(variables, image, train=False,
-                                 method=model.main_only)
-        else:
-            out = model.apply(variables, image, train=False)
-            logits = out["dp0"] if isinstance(out, dict) else out
-        return logits
+        if tta and is_basenet:
+            return model.apply(variables, image, train=False, tta=True)
+        if tta:
+            # U-Net family flip-TTA: mean softmax over H/V flips
+            total = None
+            for fh, fv in ((False, False), (True, False),
+                           (False, True), (True, True)):
+                cur = image[:, :, ::-1] if fh else image
+                cur = cur[:, ::-1] if fv else cur
+                p = jax.nn.softmax(_forward(variables, cur), axis=-1)
+                p = p[:, :, ::-1] if fh else p
+                p = p[:, ::-1] if fv else p
+                total = p if total is None else total + p
+            return total / 4.0
+        return _forward(variables, image)
 
     @jax.jit
     def uncertainty(params, batch_stats, image):
@@ -93,7 +135,7 @@ def evaluate(cfg, ckpt_dir: str, split: str = "test",
         image = jnp.asarray(batch["image"])
         label = jnp.asarray(batch["label"])
         t0 = time.perf_counter()
-        logits = predict(state.params, state.batch_stats, image)
+        logits = predict(eval_params, eval_bstats, image)
         logits_np = np.asarray(logits)  # hard sync for honest latency
         latencies.append(time.perf_counter() - t0)
         m = segmentation_metrics(logits, label, n_classes)
@@ -111,7 +153,7 @@ def evaluate(cfg, ckpt_dir: str, split: str = "test",
             cv2.imwrite(os.path.join(save_viz, f"{n:03d}_gt.png"),
                         cv2.cvtColor(colorize(np.asarray(label[0])),
                                      cv2.COLOR_RGB2BGR))
-            umap = np.asarray(uncertainty(state.params, state.batch_stats,
+            umap = np.asarray(uncertainty(eval_params, eval_bstats,
                                           image))[0]
             umap = (255 * umap / max(umap.max(), 1e-8)).astype(np.uint8)
             cv2.imwrite(os.path.join(save_viz, f"{n:03d}_uncert.png"),
@@ -150,10 +192,21 @@ def main(argv=None):
     p.add_argument("--split", default="test", choices=["test", "val"])
     p.add_argument("--save_viz", default="")
     p.add_argument("--latest", action="store_true")
+    p.add_argument("--model2", action="store_true",
+                   help="evaluate the CPS second net "
+                        "(reference CPS_train.py:352-377)")
+    p.add_argument("--eval_ema", action="store_true",
+                   help="evaluate the MT/UAMT EMA teacher weights")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation (BaseNet multi-scale flip "
+                        "harness; flip-averaging for U-Net models)")
     extra, _ = p.parse_known_args(argv)
+    which = ("model2" if extra.model2
+             else ("ema" if extra.eval_ema else "model1"))
     ckpt_dir = extra.ckpt or os.path.join(cfg.run.out_dir, "checkpoints")
     return evaluate(cfg, ckpt_dir, split=extra.split,
-                    save_viz=extra.save_viz, use_best=not extra.latest)
+                    save_viz=extra.save_viz, use_best=not extra.latest,
+                    which=which, tta=extra.tta)
 
 
 if __name__ == "__main__":

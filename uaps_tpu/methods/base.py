@@ -97,7 +97,9 @@ class PlateauScheduler:
 def build_model(cfg):
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         cfg.model.compute_dtype]
-    kwargs = {"remat": cfg.model.remat}
+    kwargs = {"remat": cfg.model.remat,
+              "conv_backend": cfg.model.conv_backend,
+              "conv_variant": cfg.model.conv_variant}
     if cfg.model.name == "unet_uaps":
         kwargs["n_aux"] = cfg.model.n_aux
     if cfg.model.name in ("unet", "unet_uaps", "unet_cct", "unet_ucc",
@@ -161,17 +163,19 @@ def apply_train_stacked(model, params, batch_stats, x, rngs
     return [outs[i] for i in range(len(feats_all))], new_bs
 
 
-def supervised_ce_dice(logits: Array, labels: Array) -> Tuple[Array, Array]:
+def supervised_ce_dice(logits: Array, labels: Array,
+                       backend: str = "auto") -> Tuple[Array, Array]:
     """The reference's universal supervised pair: (CE, Dice)
     (UAPS_train.py:194-211, baseline_train.py:161-164).
 
     On TPU this routes through the fused Pallas kernel
     (pallas/ce_dice.py): one channels-in-sublanes pass computes both
     losses' statistics with an analytic VJP, avoiding the C->128 lane
-    padding XLA pays on every pass over [B,H,W,C] class tensors."""
-    from uaps_tpu.models.unet import PALLAS_CONV
+    padding XLA pays on every pass over [B,H,W,C] class tensors.
+    `backend` is ModelConfig.conv_backend ("xla" = plain jnp path — the
+    GSPMD multi-device setting, where pallas_call runs replicated)."""
     h, w = logits.shape[1:3]
-    if (PALLAS_CONV["enabled"] and jax.devices()[0].platform == "tpu"
+    if (backend != "xla" and jax.devices()[0].platform == "tpu"
             and h % 8 == 0 and w % 128 == 0):
         from uaps_tpu.pallas.ce_dice import fused_ce_dice
         return fused_ce_dice(logits, labels)

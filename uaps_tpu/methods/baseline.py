@@ -33,7 +33,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
             logits, new_bs = base.apply_train(
                 model, params, state.batch_stats, batch["image"],
                 rngs={"dropout": d_key})
-            ce, dice = base.supervised_ce_dice(logits, batch["label"])
+            ce, dice = base.supervised_ce_dice(logits, batch["label"],
+                                               cfg.model.conv_backend)
             loss = 0.5 * (ce + dice)
             return loss, (logits, new_bs, ce, dice)
 

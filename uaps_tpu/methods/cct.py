@@ -46,7 +46,9 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 model, params, bs1, batch["uimage"],
                 rngs={"dropout": d2, "perturb": p2})
             labels = batch["label"]
-            pairs = [base.supervised_ce_dice(o, labels) for o in outs]
+            pairs = [base.supervised_ce_dice(o, labels,
+                                             cfg.model.conv_backend)
+                     for o in outs]
             ces = [p[0] for p in pairs]
             dices = [p[1] for p in pairs]
             sup = (sum(ces) + sum(dices)) / (2 * len(outs))

@@ -36,9 +36,9 @@ def init_state(cfg, rng) -> Tuple[base.TrainState, object]:
     return s1.replace(second=s2), model
 
 
-def _ps_pair(logits_a, pseudo_b):
+def _ps_pair(logits_a, pseudo_b, backend="auto"):
     """0.5 CE(a, pseudo_b) + 0.5 Dice(pseudo_b, a) (:228-245)."""
-    ce, dice = base.supervised_ce_dice(logits_a, pseudo_b)
+    ce, dice = base.supervised_ce_dice(logits_a, pseudo_b, backend)
     return 0.5 * ce + 0.5 * dice
 
 
@@ -66,17 +66,18 @@ def make_train_step(cfg, model, tx, axis_name=None):
             u2, bs2b = forward(params2, bs2a, batch["uimage"], d2b)
 
             labels = batch["label"]
-            ce1, dice1 = base.supervised_ce_dice(o1, labels)
-            ce2, dice2 = base.supervised_ce_dice(o2, labels)
+            be = cfg.model.conv_backend
+            ce1, dice1 = base.supervised_ce_dice(o1, labels, be)
+            ce2, dice2 = base.supervised_ce_dice(o2, labels, be)
             sup = 0.5 * (ce1 + dice1) + 0.5 * (ce2 + dice2)
 
             pl1 = jnp.argmax(jax.lax.stop_gradient(o1), axis=-1)
             pl2 = jnp.argmax(jax.lax.stop_gradient(o2), axis=-1)
-            labeled_cps = _ps_pair(o1, pl2) + _ps_pair(o2, pl1)
+            labeled_cps = _ps_pair(o1, pl2, be) + _ps_pair(o2, pl1, be)
 
             pu1 = jnp.argmax(jax.lax.stop_gradient(u1), axis=-1)
             pu2 = jnp.argmax(jax.lax.stop_gradient(u2), axis=-1)
-            unl_cps = _ps_pair(u1, pu2) + _ps_pair(u2, pu1)
+            unl_cps = _ps_pair(u1, pu2, be) + _ps_pair(u2, pu1, be)
 
             w = base.ramp_weight(mcfg.consistency1, state.step, 150,
                                  mcfg.consistency_rampup)

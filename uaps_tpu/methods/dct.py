@@ -58,7 +58,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
             rot_logits, bs3 = base.apply_train(
                 model, params, bs2, _rot_k(batch["uimage"], k),
                 rngs={"dropout": d3})
-            ce, dice = base.supervised_ce_dice(logits, batch["label"])
+            ce, dice = base.supervised_ce_dice(logits, batch["label"],
+                                               cfg.model.conv_backend)
             sup = 0.5 * (ce + dice)
             cons = jnp.mean(
                 (jax.nn.softmax(rot_logits, axis=-1)

@@ -72,7 +72,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 rngs={"dropout": d1})
             un_logits, bs2 = base.apply_train(
                 model, params, bs1, batch["uimage"], rngs={"dropout": d2})
-            ce, dice = base.supervised_ce_dice(logits, batch["label"])
+            ce, dice = base.supervised_ce_dice(logits, batch["label"],
+                                               cfg.model.conv_backend)
             sup = 0.5 * (ce + dice)
             cons = jnp.mean(
                 (jax.nn.softmax(un_logits, axis=-1) - ema_soft) ** 2)

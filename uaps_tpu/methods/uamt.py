@@ -64,7 +64,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 rngs={"dropout": d1})
             un_logits, bs2 = base.apply_train(
                 model, params, bs1, uimage, rngs={"dropout": d2})
-            ce, dice = base.supervised_ce_dice(logits, batch["label"])
+            ce, dice = base.supervised_ce_dice(logits, batch["label"],
+                                               cfg.model.conv_backend)
             sup = 0.5 * (ce + dice)
             w = base.ramp_weight(mcfg.consistency1, state.step,
                                  mcfg.ramp_iters, mcfg.consistency_rampup)

@@ -93,7 +93,9 @@ def make_train_step(cfg, model, tx, axis_name=None):
 
             labels = batch["label"]
             # supervised: mean over decoders of 0.5(CE+Dice)
-            pairs = [base.supervised_ce_dice(o, labels) for o in outs]
+            pairs = [base.supervised_ce_dice(o, labels,
+                                             cfg.model.conv_backend)
+                     for o in outs]
             ces = [p[0] for p in pairs]
             dices = [p[1] for p in pairs]
             sup = sum(0.5 * (c + d) for c, d in zip(ces, dices)) / n_dec
@@ -110,8 +112,7 @@ def make_train_step(cfg, model, tx, axis_name=None):
                 w = jax.random.dirichlet(mix_key, jnp.ones((n_dec,)))
             else:
                 w = jnp.full((n_dec,), 1.0 / n_dec)
-            from uaps_tpu.models.unet import PALLAS_CONV
-            if PALLAS_CONV["enabled"] and \
+            if cfg.model.conv_backend != "xla" and \
                     jax.devices()[0].platform == "tpu":
                 # fused softmax-mix-argmax kernel (one VMEM pass over the
                 # D logit tensors; pallas/pseudo_label.py)
@@ -124,7 +125,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
 
             ps_terms = []
             for o, var in zip(un_outs, variances):
-                ps_ce, ps_dice = base.supervised_ce_dice(o, pseudo)
+                ps_ce, ps_dice = base.supervised_ce_dice(
+                    o, pseudo, cfg.model.conv_backend)
                 ps = 0.5 * (ps_ce + ps_dice)
                 if mcfg.uncertainty_gate:
                     ps = ps * jnp.mean(jnp.exp(-var))

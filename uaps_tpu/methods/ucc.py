@@ -58,8 +58,9 @@ def make_train_step(cfg, model, tx, axis_name=None):
             (u1_st, u2_st), bs3 = base.apply_train(
                 model, params, bs2, st, rngs={"dropout": d3, "perturb": p3})
 
-            ce1, dice1 = base.supervised_ce_dice(o1, lab_l)
-            ce2, dice2 = base.supervised_ce_dice(o2, lab_l)
+            be = cfg.model.conv_backend
+            ce1, dice1 = base.supervised_ce_dice(o1, lab_l, be)
+            ce2, dice2 = base.supervised_ce_dice(o2, lab_l, be)
             sup = 0.5 * (ce1 + dice1) + 0.5 * (ce2 + dice2)
 
             s1_wk = jax.nn.softmax(u1_wk, axis=-1)
@@ -71,8 +72,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
             pseudo_1 = jnp.argmax(jax.lax.stop_gradient(s2_wk), axis=-1)
             pseudo_2 = jnp.argmax(jax.lax.stop_gradient(s1_wk), axis=-1)
 
-            ce1u, dice1u = base.supervised_ce_dice(u1_st, pseudo_1)
-            ce2u, dice2u = base.supervised_ce_dice(u2_st, pseudo_2)
+            ce1u, dice1u = base.supervised_ce_dice(u1_st, pseudo_1, be)
+            ce2u, dice2u = base.supervised_ce_dice(u2_st, pseudo_2, be)
             ps_1 = (0.5 * (ce1u + dice1u)
                     * jnp.mean(jnp.exp(-var_1))) + jnp.mean(var_1)
             ps_2 = (0.5 * (ce2u + dice2u)

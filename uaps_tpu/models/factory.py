@@ -32,65 +32,86 @@ def _register(name):
 
 @_register("unet")
 def _unet(num_classes: int, dtype=jnp.float32, remat: bool = False,
-          nchw_levels: int = 0):
+          nchw_levels: int = 0, conv_backend: str = "auto",
+          conv_variant: str = "taps"):
     return UNet(num_classes=num_classes, dtype=dtype, remat=remat,
-                nchw_levels=nchw_levels)
+                nchw_levels=nchw_levels, conv_backend=conv_backend,
+                conv_variant=conv_variant)
 
 
 @_register("unet_uaps")
 def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
-               remat: bool = False, nchw_levels: int = 0):
+               remat: bool = False, nchw_levels: int = 0,
+               conv_backend: str = "auto", conv_variant: str = "taps"):
     """UAPS net; n_aux in {2,3,4} per the paper's ablation
     (UAPS_train.py:139 comments). kinds cycle through the reference order."""
     base = ("feature_noise", "dropout", "feature_dropout")
     kinds = tuple(base[i % 3] for i in range(n_aux))
     return MultiDecoderUNet(num_classes=num_classes, perturbations=kinds,
                             dtype=dtype, remat=remat,
-                            nchw_levels=nchw_levels)
+                            nchw_levels=nchw_levels,
+                            conv_backend=conv_backend,
+                            conv_variant=conv_variant)
 
 
 @_register("unet_cct")
 def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False,
-              nchw_levels: int = 0):
+              nchw_levels: int = 0, conv_backend: str = "auto",
+              conv_variant: str = "taps"):
     # arch-identical to unet_uaps (CCT/CCT_unet.py:261-286)
     return MultiDecoderUNet(num_classes=num_classes, dtype=dtype,
-                            remat=remat, nchw_levels=nchw_levels)
+                            remat=remat, nchw_levels=nchw_levels,
+                            conv_backend=conv_backend,
+                            conv_variant=conv_variant)
 
 
 @_register("unet_ucc")
 def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False,
-              nchw_levels: int = 0):
+              nchw_levels: int = 0, conv_backend: str = "auto",
+              conv_variant: str = "taps"):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_noise",), dtype=dtype,
-                            remat=remat, nchw_levels=nchw_levels)
+                            remat=remat, nchw_levels=nchw_levels,
+                            conv_backend=conv_backend,
+                            conv_variant=conv_variant)
 
 
 @_register("unet_ccps")
 def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
-               nchw_levels: int = 0):
+               nchw_levels: int = 0, conv_backend: str = "auto",
+               conv_variant: str = "taps"):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_dropout",), dtype=dtype,
-                            remat=remat, nchw_levels=nchw_levels)
+                            remat=remat, nchw_levels=nchw_levels,
+                            conv_backend=conv_backend,
+                            conv_variant=conv_variant)
 
 
 @_register("unet_f")
-def _unet_f(num_classes: int, dtype=jnp.float32, remat: bool = False):
+def _unet_f(num_classes: int, dtype=jnp.float32, remat: bool = False,
+            conv_backend: str = "auto", conv_variant: str = "taps"):
     return DeepSupervisionUNet(num_classes=num_classes, perturbation="none",
-                               dtype=dtype, remat=remat)
+                               dtype=dtype, remat=remat,
+                               conv_backend=conv_backend,
+                               conv_variant=conv_variant)
 
 
 @_register("unet_g")
-def _unet_g(num_classes: int, dtype=jnp.float32, remat: bool = False):
+def _unet_g(num_classes: int, dtype=jnp.float32, remat: bool = False,
+            conv_backend: str = "auto", conv_variant: str = "taps"):
     return DeepSupervisionUNet(num_classes=num_classes,
                                perturbation="feature_dropout", dtype=dtype,
-                               remat=remat)
+                               remat=remat, conv_backend=conv_backend,
+                               conv_variant=conv_variant)
 
 
 @_register("unet_h")
-def _unet_h(num_classes: int, dtype=jnp.float32, remat: bool = False):
+def _unet_h(num_classes: int, dtype=jnp.float32, remat: bool = False,
+            conv_backend: str = "auto", conv_variant: str = "taps"):
     return DeepSupervisionUNet(num_classes=num_classes,
                                perturbation="feature_noise", dtype=dtype,
-                               remat=remat)
+                               remat=remat, conv_backend=conv_backend,
+                               conv_variant=conv_variant)
 
 
 def _register_basenets():
@@ -99,8 +120,9 @@ def _register_basenets():
     from uaps_tpu.models.resnet import BaseNet
 
     for bk in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
-        def make(num_classes, dtype=jnp.float32, remat=False, _bk=bk):
-            del remat  # resnet trunk fits without remat at these sizes
+        def make(num_classes, dtype=jnp.float32, remat=False, _bk=bk,
+                 **kw):
+            del remat, kw  # resnet trunk: no remat/pallas-conv knobs
             return BaseNet(backbone=_bk, num_classes=num_classes,
                            dtype=dtype)
         MODEL_REGISTRY[f"basenet_{bk}"] = make

@@ -35,17 +35,6 @@ UNET_DROPOUT: Tuple[float, ...] = (0.05, 0.1, 0.2, 0.3, 0.5)
 
 Dtype = Any
 
-# Trace-time switch for the Pallas conv fast path. pallas_call does not
-# partition under GSPMD (it runs replicated, defeating data parallelism),
-# so the Trainer disables it when the mesh has >1 device; running the step
-# under shard_map would re-enable it multi-chip (future work, PERF.md).
-PALLAS_CONV = {"enabled": True}
-
-
-def set_pallas_conv(enabled: bool):
-    PALLAS_CONV["enabled"] = bool(enabled)
-
-
 def to_nchw(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 3, 1, 2))
 
@@ -68,6 +57,11 @@ class Conv3x3(nn.Module):
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
     out_dtype: Any = None  # e.g. f32 logits from bf16 compute (NCHW only)
+    # kernel dispatch config (ModelConfig.conv_backend/conv_variant,
+    # threaded through module attributes — no module globals, so models
+    # with different settings coexist in one process):
+    backend: str = "auto"   # "auto" = pallas-on-TPU where gated; "xla"
+    variant: str = "taps"   # taps|im2col|dhdw|fullh (PERF.md ablations)
 
     @nn.compact
     def __call__(self, x, return_stats: bool = False):
@@ -86,15 +80,14 @@ class Conv3x3(nn.Module):
         x = x.astype(self.dtype)
         h, w = x.shape[2:4] if nchw else x.shape[1:3]
         use_pallas = (
-            PALLAS_CONV["enabled"]
+            self.backend != "xla"
             and jax.devices()[0].platform == "tpu"
             and h >= 128 and w >= 128 and h % 8 == 0 and w % 128 == 0
             and self.features <= 32 and cin <= 64
         )
         stats = None
         if use_pallas:
-            import os
-            variant = os.environ.get("UAPS_CONV_VARIANT", "taps")
+            variant = self.variant
             if nchw and return_stats and variant == "taps":
                 from uaps_tpu.pallas.conv3x3_nchw import \
                     conv3x3_fast_nchw_stats
@@ -184,6 +177,8 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
     bn_stats: bool = False
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -192,11 +187,15 @@ class ConvBlock(nn.Module):
         def conv_bn(x, conv_name, bn_name):
             if nchw and self.bn_stats:
                 y, s1, s2, n = Conv3x3(self.features, self.dtype, "nchw",
+                                       backend=self.conv_backend,
+                                       variant=self.conv_variant,
                                        name=conv_name)(x, True)
                 return StatsBatchNorm(momentum=0.9, epsilon=1e-5,
                                       dtype=self.dtype, name=bn_name)(
                     y, s1, s2, n, train=train)
             y = Conv3x3(self.features, self.dtype, self.layout,
+                        backend=self.conv_backend,
+                        variant=self.conv_variant,
                         name=conv_name)(x)
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -231,6 +230,8 @@ class DownBlock(nn.Module):
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
     in_layout: str = "nhwc"
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -238,7 +239,8 @@ class DownBlock(nn.Module):
         if self.in_layout != self.layout:
             x = to_nhwc(x) if self.layout == "nhwc" else to_nchw(x)
         return ConvBlock(self.features, self.dropout_rate, self.dtype,
-                         self.layout)(x, train=train)
+                         self.layout, conv_backend=self.conv_backend,
+                         conv_variant=self.conv_variant)(x, train=train)
 
 
 def _align_corners_weights(n_in: int, n_out: int) -> jnp.ndarray:
@@ -321,6 +323,8 @@ class UpBlock(nn.Module):
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"     # layout of skip + this block's ConvBlock
     x_layout: str = "nhwc"   # layout of the incoming coarse feature
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = False):
@@ -342,7 +346,8 @@ class UpBlock(nn.Module):
         ch_axis = 1 if self.layout == "nchw" else -1
         x = jnp.concatenate([skip, x], axis=ch_axis)
         return ConvBlock(self.out_features, self.dropout_rate, self.dtype,
-                         self.layout)(x, train=train)
+                         self.layout, conv_backend=self.conv_backend,
+                         conv_variant=self.conv_variant)(x, train=train)
 
 
 def _level_layout(level: int, nchw_levels: int) -> str:
@@ -360,6 +365,8 @@ class Encoder(nn.Module):
     dropout: Tuple[float, ...] = UNET_DROPOUT
     dtype: Dtype = jnp.float32
     nchw_levels: int = 0
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -369,10 +376,14 @@ class Encoder(nn.Module):
         if lay[0] == "nchw":
             x = to_nchw(x)
         feats = [ConvBlock(ft[0], dp[0], self.dtype, lay[0],
+                           conv_backend=self.conv_backend,
+                           conv_variant=self.conv_variant,
                            name="in_conv")(x, train=train)]
         for i in range(1, 5):
             feats.append(DownBlock(
                 ft[i], dp[i], self.dtype, lay[i], lay[i - 1],
+                conv_backend=self.conv_backend,
+                conv_variant=self.conv_variant,
                 name=f"down{i}")(feats[-1], train=train))
         return feats
 
@@ -388,6 +399,8 @@ class Decoder(nn.Module):
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
     nchw_levels: int = 0
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
@@ -400,12 +413,16 @@ class Decoder(nn.Module):
             out_level = 3 - j
             x = UpBlock(ft[out_level], ft[out_level], 0.0, self.bilinear,
                         self.dtype, lay[out_level], lay[out_level + 1],
+                        conv_backend=self.conv_backend,
+                        conv_variant=self.conv_variant,
                         name=f"up{j + 1}")(x, skip, train=train)
         if lay[0] == "nchw":
             # bf16 inputs/weights, f32 logits straight from the kernel's
             # f32 accumulator (f32-in out_conv profiled 2x slower)
             logits = Conv3x3(self.num_classes, self.dtype, "nchw",
-                             out_dtype=jnp.float32, name="out_conv")(x)
+                             out_dtype=jnp.float32,
+                             backend=self.conv_backend,
+                             variant=self.conv_variant, name="out_conv")(x)
             return to_nhwc(logits)
         logits = nn.Conv(
             self.num_classes, (3, 3), padding=1, dtype=jnp.float32,
@@ -426,6 +443,8 @@ class DeepSupervisionDecoder(nn.Module):
     features: Tuple[int, ...] = UNET_FEATURES
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], out_hw: Tuple[int, int],
@@ -442,17 +461,19 @@ class DeepSupervisionDecoder(nn.Module):
                 logits, (b, h, w, self.num_classes), method="nearest"
             )
 
-        f1 = UpBlock(ft[3], ft[3], 0.0, self.bilinear, self.dtype, name="up1")(
-            x4, x3, train=train)
+        def up(j):
+            lvl = 4 - j
+            return UpBlock(ft[lvl - 1], ft[lvl - 1], 0.0, self.bilinear,
+                           self.dtype, conv_backend=self.conv_backend,
+                           conv_variant=self.conv_variant, name=f"up{j}")
+
+        f1 = up(1)(x4, x3, train=train)
         dp3 = head(f1, "out_conv_dp3")
-        f2 = UpBlock(ft[2], ft[2], 0.0, self.bilinear, self.dtype, name="up2")(
-            f1, x2, train=train)
+        f2 = up(2)(f1, x2, train=train)
         dp2 = head(f2, "out_conv_dp2")
-        f3 = UpBlock(ft[1], ft[1], 0.0, self.bilinear, self.dtype, name="up3")(
-            f2, x1, train=train)
+        f3 = up(3)(f2, x1, train=train)
         dp1 = head(f3, "out_conv_dp1")
-        f4 = UpBlock(ft[0], ft[0], 0.0, self.bilinear, self.dtype, name="up4")(
-            f3, x0, train=train)
+        f4 = up(4)(f3, x0, train=train)
         dp0 = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=jnp.float32,
                       name="out_conv")(f4)
         return {
@@ -485,15 +506,18 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     nchw_levels: int = 0
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         enc_cls, dec_cls = _maybe_remat(self.remat)
         feats = enc_cls(self.features, self.dropout, self.dtype,
-                        self.nchw_levels, name="encoder")(x, train)
+                        self.nchw_levels, self.conv_backend,
+                        self.conv_variant, name="encoder")(x, train)
         return dec_cls(self.num_classes, self.features, self.bilinear,
-                       self.dtype, self.nchw_levels,
-                       name="decoder")(feats, train)
+                       self.dtype, self.nchw_levels, self.conv_backend,
+                       self.conv_variant, name="decoder")(feats, train)
 
 
 class MultiDecoderUNet(nn.Module):
@@ -523,18 +547,22 @@ class MultiDecoderUNet(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     nchw_levels: int = 0
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     def setup(self):
         enc_cls, dec_cls = _maybe_remat(self.remat)
         self.encoder = enc_cls(self.features, self.dropout, self.dtype,
-                               self.nchw_levels)
+                               self.nchw_levels, self.conv_backend,
+                               self.conv_variant)
         self.main_decoder = dec_cls(self.num_classes, self.features,
                                     self.bilinear, self.dtype,
-                                    self.nchw_levels)
+                                    self.nchw_levels, self.conv_backend,
+                                    self.conv_variant)
         self.aux_decoders = [
             dec_cls(self.num_classes, self.features, self.bilinear,
-                    self.dtype, self.nchw_levels,
-                    name=f"aux_decoder{i + 1}")
+                    self.dtype, self.nchw_levels, self.conv_backend,
+                    self.conv_variant, name=f"aux_decoder{i + 1}")
             for i in range(len(self.perturbations))
         ]
 
@@ -590,7 +618,8 @@ def stacked_decoder_apply(model: "MultiDecoderUNet", params, batch_stats,
     bs = jax.tree.map(lambda *ls: jnp.stack(ls),
                       *[batch_stats[n] for n in names])
     dec = Decoder(model.num_classes, model.features, model.bilinear,
-                  model.dtype)
+                  model.dtype, model.nchw_levels, model.conv_backend,
+                  model.conv_variant)
 
     def one(pp, bb, feats):
         out, mut = dec.apply({"params": pp, "batch_stats": bb}, feats,
@@ -620,6 +649,8 @@ class DeepSupervisionUNet(nn.Module):
     bilinear: bool = True  # see UpBlock docstring: reference default-arg trap
     dtype: Dtype = jnp.float32
     remat: bool = False
+    conv_backend: str = "auto"
+    conv_variant: str = "taps"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -627,11 +658,14 @@ class DeepSupervisionUNet(nn.Module):
         ds_cls = (nn.remat(DeepSupervisionDecoder, static_argnums=(2, 3))
                   if self.remat else DeepSupervisionDecoder)
         feats = enc_cls(self.features, self.dropout, self.dtype,
+                        conv_backend=self.conv_backend,
+                        conv_variant=self.conv_variant,
                         name="encoder")(x, train)
         if self.perturbation != "none":
             key = self.make_rng("perturb")
             feats = perturb_features(key, feats, self.perturbation)
         return ds_cls(
             self.num_classes, self.features, self.bilinear, self.dtype,
+            conv_backend=self.conv_backend, conv_variant=self.conv_variant,
             name="main_decoder",
         )(feats, x.shape[1:3], train)

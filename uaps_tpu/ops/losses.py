@@ -241,9 +241,10 @@ def kl_divergence_map(logits: Array, target_probs: Array) -> Array:
 
     This is the UAPS `variance_*` map: torch.sum(KLDivLoss(reduction='none')
     (log_softmax(dec), preds), dim=1) at /root/reference/UAPS_train.py:226-239.
-    xlogy gives torch's 0*log0 = 0 convention. Gradients flow into `logits`
-    only; `target_probs` (the 4-decoder average) is stop-gradient'd — in the
-    reference gradients DO flow through preds, so we keep them by default.
+    xlogy gives torch's 0*log0 = 0 convention. Gradients flow through BOTH
+    arguments — the reference never detaches `preds` (the 4-decoder
+    average), and neither do we; pass stop_gradient(target_probs) yourself
+    if you want a detached target.
 
     Returns [..., ] map with the class axis reduced.
     """

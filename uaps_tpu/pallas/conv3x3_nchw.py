@@ -120,7 +120,13 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
     head: full output precision at bf16 DMA/matmul cost — the f32-in
     out_conv was profiled at 0.9 ms/call vs ~0.45 for bf16-in)."""
     if variant == "fullh":
-        return conv3x3_nchw_fullh(x, w, interpret)
+        # fullh does its own (H-only) padding and writes x.dtype outputs:
+        # strip any caller pre-padding and convert afterwards (the variant
+        # is env-selectable from Conv3x3, which may pass either flag)
+        if prepadded:
+            x = x[:, :, 4:-4, 1:-1]
+        y = conv3x3_nchw_fullh(x, w, interpret)
+        return y if out_dtype in (None, y.dtype) else y.astype(out_dtype)
     b, cin, h, width = x.shape
     if prepadded:
         h, width = h - 8, width - 2
@@ -224,6 +230,8 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        prepadded: bool = False) -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
     if variant == "fullh":
+        if prepadded:
+            x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
     b, cin, h, width = x.shape
     if prepadded:

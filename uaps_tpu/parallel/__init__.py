@@ -9,10 +9,12 @@ from uaps_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     shard_batch_stacked,
+    local_batch_shard,
     replicate_state,
     batch_sharding,
     distributed_init,
 )
 
 __all__ = ["make_mesh", "shard_batch", "shard_batch_stacked",
+           "local_batch_shard",
            "replicate_state", "batch_sharding", "distributed_init"]

@@ -1,12 +1,13 @@
 """shard_map training mode: per-device SPMD with explicit collectives.
 
-The default multi-chip path is GSPMD (jit + sharded batches), under which
-XLA partitions everything automatically — EXCEPT pallas_call, which runs
-replicated. This module provides the manual alternative: the train step
-runs per-device under shard_map with gradients/metrics/batch-stats pmean'd
-over the 'data' axis (each method's make_train_step takes axis_name), and
-the Pallas conv kernels stay active because every device traces concrete
-local shapes.
+This is the DEFAULT multi-chip path (RunConfig.use_shard_map=None ->
+auto-on for >1 device). The alternative, GSPMD (jit + sharded batches),
+partitions everything automatically — EXCEPT pallas_call, which runs
+replicated there, silently costing ~2x on the conv-kernel path. Here the
+train step runs per-device under jax.shard_map with gradients/metrics/
+batch-stats pmean'd over the 'data' axis (each method's make_train_step
+takes axis_name), and the Pallas kernels stay active because every device
+traces concrete local shapes.
 
 Semantics vs GSPMD mode:
   - Losses are means over the LOCAL shard; pmean of gradients equals the
@@ -25,15 +26,14 @@ from typing import Callable
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def make_sharded_train_step(method, cfg, model, tx, mesh: Mesh) -> Callable:
     base_step = method.make_train_step(cfg, model, tx, axis_name="data")
-    sharded = shard_map(
+    sharded = jax.shard_map(
         base_step, mesh=mesh,
         in_specs=(P(), P("data")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=0)

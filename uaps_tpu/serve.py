@@ -1,10 +1,12 @@
 """Batched inference engine + directory-processing CLI.
 
 The reference's only serving story is per-image notebook loops
-(UAPS-Testing.ipynb cells 11-19, bs=1 sweeps). This module provides the
-production path: a compiled fixed-shape predictor with automatic
-micro-batching/padding, optional multi-scale-flip TTA (BaseNet-style),
-uncertainty maps, and a CLI that sweeps a directory of images into masks.
+(UAPS-Testing.ipynb cells 11-19, bs=1 sweeps). This module provides a
+compiled fixed-shape predictor with automatic micro-batching/padding,
+optional TTA (BaseNet multi-scale flip harness, or flip-averaging for
+U-Net models), uncertainty maps, and a CLI that sweeps a directory of
+images into masks. (It is a synchronous batch engine — an async
+request-queue server is not included.)
 
     python -m uaps_tpu.serve --preset neu --method uaps \
         --out_dir runs/neu --images /data/imgs --out /tmp/masks
@@ -35,7 +37,11 @@ class InferenceEngine:
 
     def __init__(self, cfg, ckpt_dir: Optional[str] = None,
                  batch_size: Optional[int] = None,
-                 params=None, batch_stats=None):
+                 params=None, batch_stats=None, tta: bool = False):
+        """tta=True averages predictions over test-time augmentations:
+        BaseNet models run their multi-scale flip harness (reference
+        utilities/base.py:23-46), U-Net family models average softmax
+        over the 4 H/V flips — all inside the one jitted predictor."""
         self.cfg = cfg
         self.batch_size = batch_size or cfg.data.batch_size
         method = get_method(cfg.method.name)
@@ -54,17 +60,35 @@ class InferenceEngine:
             self.batch_stats = restored.batch_stats
 
         has_main_only = hasattr(self.model, "main_only")
+        is_basenet = cfg.model.name.startswith("basenet")
+        model = self.model
+
+        def _forward(variables, x):
+            if has_main_only:
+                return model.apply(variables, x, train=False,
+                                   method=model.main_only)
+            out = model.apply(variables, x, train=False)
+            return out["dp0"] if isinstance(out, dict) else out
 
         @jax.jit
         def _predict(params, batch_stats, x):
             variables = {"params": params, "batch_stats": batch_stats}
-            if has_main_only:
-                logits = self.model.apply(variables, x, train=False,
-                                          method=self.model.main_only)
+            if tta and is_basenet:
+                scores = model.apply(variables, x, train=False, tta=True)
+                probs = scores / jnp.sum(scores, axis=-1, keepdims=True)
+            elif tta:
+                total = None
+                for fh, fv in ((False, False), (True, False),
+                               (False, True), (True, True)):
+                    cur = x[:, :, ::-1] if fh else x
+                    cur = cur[:, ::-1] if fv else cur
+                    p = jax.nn.softmax(_forward(variables, cur), axis=-1)
+                    p = p[:, :, ::-1] if fh else p
+                    p = p[:, ::-1] if fv else p
+                    total = p if total is None else total + p
+                probs = total / 4.0
             else:
-                out = self.model.apply(variables, x, train=False)
-                logits = out["dp0"] if isinstance(out, dict) else out
-            probs = jax.nn.softmax(logits, axis=-1)
+                probs = jax.nn.softmax(_forward(variables, x), axis=-1)
             return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
 
         @jax.jit
@@ -141,13 +165,18 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None)
     p.add_argument("--torch_ckpt", default=None)
     p.add_argument("--uncertainty", action="store_true")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation (multi-scale flip for "
+                        "BaseNet, flip-averaging for U-Net models)")
     extra, _ = p.parse_known_args(argv)
 
     if extra.torch_ckpt:
-        engine = InferenceEngine.from_torch(cfg, extra.torch_ckpt)
+        engine = InferenceEngine.from_torch(cfg, extra.torch_ckpt,
+                                            tta=extra.tta)
     else:
         engine = InferenceEngine(
-            cfg, extra.ckpt or os.path.join(cfg.run.out_dir, "checkpoints"))
+            cfg, extra.ckpt or os.path.join(cfg.run.out_dir, "checkpoints"),
+            tta=extra.tta)
 
     os.makedirs(extra.out, exist_ok=True)
     names = sorted(os.listdir(extra.images))

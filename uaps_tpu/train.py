@@ -27,7 +27,7 @@ import numpy as np
 
 from uaps_tpu.methods import get_method, base as method_base
 from uaps_tpu.parallel import make_mesh, replicate_state, shard_batch, \
-    shard_batch_stacked, distributed_init
+    shard_batch_stacked, distributed_init, local_batch_shard
 from uaps_tpu.utils.checkpoint import CheckpointManager
 from uaps_tpu.utils.config import Config, preset
 from uaps_tpu.utils.logging_utils import get_logger, MetricWriter
@@ -82,12 +82,20 @@ class Trainer:
         n = max(d for d in range(1, avail + 1)
                 if cfg.data.batch_size % d == 0)
         self.mesh = make_mesh(n)
-        if self.mesh.devices.size > 1 and not cfg.run.use_shard_map:
-            # pallas convs run replicated under GSPMD; keep multi-chip DP
-            # correct and scalable by using XLA convs there. shard_map
-            # mode keeps the kernels (see parallel/shardmap_step.py).
-            from uaps_tpu.models.unet import set_pallas_conv
-            set_pallas_conv(False)
+        # use_shard_map=None -> auto: shard_map is the DEFAULT multi-chip
+        # path (keeps Pallas kernels partitioned; per-device BN like the
+        # reference's DataParallel). GSPMD (sync-BN) is the opt-out.
+        use_sm = cfg.run.use_shard_map
+        self.use_shard_map = (self.mesh.devices.size > 1 if use_sm is None
+                              else bool(use_sm))
+        if self.mesh.devices.size > 1 and not self.use_shard_map:
+            # GSPMD mode: pallas_call runs replicated under GSPMD — route
+            # convs/loss kernels to XLA via config (threaded through
+            # module attributes, not a module global)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               conv_backend="xla"))
+            self.cfg = cfg
         self.logger = get_logger(cfg.run.out_dir)
         self.writer = MetricWriter(cfg.run.out_dir)
         self.method = get_method(cfg.method.name)
@@ -96,7 +104,7 @@ class Trainer:
         rng = jax.random.key(cfg.run.seed)
         self.state, self.model = self.method.init_state(cfg, rng)
         self.tx = method_base.make_optimizer(cfg.optim)
-        if cfg.run.use_shard_map and self.mesh.devices.size > 1:
+        if self.use_shard_map and self.mesh.devices.size > 1:
             from uaps_tpu.parallel.shardmap_step import \
                 make_sharded_train_step
             self.train_step = make_sharded_train_step(
@@ -108,7 +116,7 @@ class Trainer:
         # identical updates, one host round-trip per K steps
         self.k_dispatch = max(1, cfg.run.steps_per_dispatch)
         if cfg.run.profile_steps or (
-                cfg.run.use_shard_map and self.mesh.devices.size > 1):
+                self.use_shard_map and self.mesh.devices.size > 1):
             self.k_dispatch = 1
         if self.k_dispatch > 1:
             def multi(state, batches):
@@ -116,11 +124,14 @@ class Trainer:
             self.train_step_scan = jax.jit(multi, donate_argnums=0)
         self.eval_step = method_base.make_eval_step(cfg, self.model)
         self.scheduler = method_base.PlateauScheduler(cfg.optim)
+        # CPS runs two optimizers with their own plateau schedulers
+        # (reference CPS_train.py:115-119)
+        self.scheduler2 = (method_base.PlateauScheduler(cfg.optim)
+                           if self.state.second is not None else None)
         self.ckpt = CheckpointManager(
             os.path.join(cfg.run.out_dir, "checkpoints"),
             keep=cfg.run.keep_checkpoints)
         self.best_dice = -1.0
-        self.patience = 0
 
         # replicate state over the mesh; batches arrive sharded on 'data'
         self.state = replicate_state(self.state, self.mesh)
@@ -137,6 +148,9 @@ class Trainer:
         self.best_dice = host.get("best_dice", -1.0)
         self.scheduler.best = host.get("sched_best", -float("inf"))
         self.scheduler.bad_epochs = host.get("sched_bad", 0)
+        if self.scheduler2 is not None:
+            self.scheduler2.best = host.get("sched2_best", -float("inf"))
+            self.scheduler2.bad_epochs = host.get("sched2_bad", 0)
         start_epoch = host.get("epoch", 0)
         self.logger.info(
             f"resumed from step {int(jax.device_get(self.state.step))} "
@@ -144,26 +158,38 @@ class Trainer:
         return start_epoch
 
     # ------------------------------------------------------------------
+    def _sched_host(self) -> Dict[str, float]:
+        host = {"sched_best": self.scheduler.best,
+                "sched_bad": self.scheduler.bad_epochs}
+        if self.scheduler2 is not None:
+            host["sched2_best"] = self.scheduler2.best
+            host["sched2_bad"] = self.scheduler2.bad_epochs
+        return host
+
+    # ------------------------------------------------------------------
     def validate(self) -> Dict[str, float]:
+        """Validation sweep. MT/UAMT validate the STUDENT weights
+        (MT_train.py:352 uses self.model); the EMA teacher is evaluable
+        via eval.py --eval_ema. CPS evaluates BOTH nets like the reference
+        (CPS_train.py:352-377) — the second net's metrics arrive with a
+        'val2_' prefix."""
+        weight_sets = [("", self.state.params, self.state.batch_stats)]
+        if self.state.second is not None:
+            weight_sets.append(("2", self.state.second.params,
+                                self.state.second.batch_stats))
         sums: Dict[str, float] = {}
         n = 0
-        params = self.state.params
-        bstats = self.state.batch_stats
-        if self.state.ema_params is not None and \
-                self.cfg.method.name in ("mt", "uamt"):
-            # reference validates the STUDENT (UAPS_train.py analog in
-            # MT_train.py:352 uses self.model, the student)
-            pass
         for batch in self.data.val_iter():
             # remainder val batches (real data, drop_last=False semantics
             # like the reference) may not divide the mesh; run them
             # replicated (one extra compile for that shape)
             if batch["image"].shape[0] % self.mesh.devices.size == 0:
-                batch = shard_batch(batch, self.mesh)
-            m = self.eval_step(params, bstats, batch)
-            m = jax.device_get(m)
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                batch = shard_batch(local_batch_shard(batch), self.mesh)
+            for tag, params, bstats in weight_sets:
+                m = jax.device_get(self.eval_step(params, bstats, batch))
+                for k, v in m.items():
+                    k = k.replace("val_", f"val{tag}_") if tag else k
+                    sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
 
@@ -186,7 +212,10 @@ class Trainer:
             while it < cfg.run.iter_per_epoch:
                 k = min(self.k_dispatch, cfg.run.iter_per_epoch - it)
                 if k > 1 and k == self.k_dispatch:
-                    raw = [next(stream) for _ in range(k)]
+                    # per-host feed: each process stacks only its local
+                    # rows of every batch (parallel/mesh.local_batch_shard)
+                    raw = [local_batch_shard(next(stream))
+                           for _ in range(k)]
                     stacked = jax.tree.map(
                         lambda *xs: np.stack(xs), *raw)
                     batches = shard_batch_stacked(stacked, self.mesh)
@@ -195,7 +224,8 @@ class Trainer:
                     epoch_metrics.append(metrics)
                     it += k
                     continue
-                batch = shard_batch(next(stream), self.mesh)
+                batch = shard_batch(local_batch_shard(next(stream)),
+                                    self.mesh)
                 if (cfg.run.profile_steps
                         and epoch == 1 and it == cfg.run.profile_steps[0]):
                     jax.profiler.start_trace(
@@ -233,6 +263,10 @@ class Trainer:
 
             val = self.validate()
             self.state = self.scheduler.step(self.state, val["val_mdice"])
+            if self.scheduler2 is not None:
+                self.state = self.state.replace(
+                    second=self.scheduler2.step(self.state.second,
+                                                val["val2_mdice"]))
 
             self.writer.write(epoch, {**means, **val})
             self.logger.info(
@@ -243,17 +277,20 @@ class Trainer:
                 f"val_miou {val['val_miou']:.4f} "
                 f"({means['imgs_per_sec']:.1f} img/s)")
 
-            if val["val_mdice"] > self.best_dice:
-                self.best_dice = val["val_mdice"]
-                self.patience = 0
+            # keep-best on the best net's dice (the reference checkpoints
+            # each CPS net on its own best — the combined state here
+            # covers both, gated on whichever improved)
+            gate_dice = max(val["val_mdice"],
+                            val.get("val2_mdice", float("-inf")))
+            if gate_dice > self.best_dice:
+                self.best_dice = gate_dice
                 self.ckpt.save(
                     int(jax.device_get(self.state.step)),
                     jax.device_get(self.state),
                     host_state={
                         "epoch": epoch, "best_dice": self.best_dice,
-                        "sched_best": self.scheduler.best,
-                        "sched_bad": self.scheduler.bad_epochs,
                         "config_method": cfg.method.name,
+                        **self._sched_host(),
                     },
                     metrics=val)
             elif cfg.run.save_every and epoch % cfg.run.save_every == 0:
@@ -262,11 +299,8 @@ class Trainer:
                     int(jax.device_get(self.state.step)),
                     jax.device_get(self.state),
                     host_state={"epoch": epoch, "best_dice": self.best_dice,
-                                "sched_best": self.scheduler.best,
-                                "sched_bad": self.scheduler.bad_epochs},
+                                **self._sched_host()},
                     metrics=val)
-            else:
-                self.patience += 1
         self.ckpt.wait()
         self.writer.close()
         return self.best_dice
@@ -300,7 +334,12 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--prng_impl", default=None,
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
-    p.add_argument("--shard_map", action="store_true")
+    p.add_argument("--shard_map", action="store_true",
+                   help="force shard_map mode (default: auto — shard_map "
+                        "whenever the mesh has >1 device)")
+    p.add_argument("--gspmd", action="store_true",
+                   help="force GSPMD mode (jit-sharded, sync-BN, XLA "
+                        "convs) instead of the default shard_map path")
     p.add_argument("--fused_batch", action="store_true",
                    help="one forward over [labeled; unlabeled] "
                         "(joint-batch BN, documented deviation)")
@@ -344,7 +383,8 @@ def parse_args(argv=None) -> Config:
         run=rep(cfg.run, epochs=args.epochs,
                 iter_per_epoch=args.iter_per_epoch, seed=args.seed,
                 out_dir=args.out_dir, prng_impl=args.prng_impl,
-                use_shard_map=args.shard_map or None,
+                use_shard_map=(True if args.shard_map
+                               else (False if args.gspmd else None)),
                 steps_per_dispatch=args.steps_per_dispatch,
                 debug_nans=args.debug_nans or None),
     )

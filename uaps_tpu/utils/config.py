@@ -9,6 +9,7 @@ dataloader modules), and four whole-directory dataset copies (SURVEY.md
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 
@@ -53,6 +54,16 @@ class ModelConfig:
     # pallas conv kernels need no boundary transposes (profiled at
     # ~21 ms/step of layout copies) — semantics-preserving
     nchw_levels: int = 2
+    # Pallas kernel dispatch, threaded through module attributes (NOT a
+    # module global — two Trainers with different settings coexist):
+    #   "auto": pallas conv/loss kernels on TPU where shape-gated
+    #   "xla":  plain XLA everywhere (the GSPMD >1-device setting, where
+    #           pallas_call would run replicated)
+    conv_backend: str = "auto"
+    # conv kernel variant (taps|im2col|dhdw|fullh — PERF.md ablations);
+    # env UAPS_CONV_VARIANT overrides at config construction time only
+    conv_variant: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT", "taps"))
 
 
 @dataclasses.dataclass
@@ -107,10 +118,13 @@ class RunConfig:
     # perturbation-heavy UAPS step; streams differ from threefry but the
     # distributions are identical)
     prng_impl: str = "threefry2x32"
-    # multi-device execution mode: False = GSPMD (jit-sharded, sync-BN,
-    # XLA convs), True = shard_map (per-device step, DataParallel-style
-    # BN, Pallas conv kernels stay active) — see parallel/shardmap_step.py
-    use_shard_map: bool = False
+    # multi-device execution mode: True = shard_map (per-device step,
+    # DataParallel-style BN like the reference, Pallas kernels stay
+    # partitioned — parallel/shardmap_step.py), False = GSPMD (jit-sharded,
+    # sync-BN, XLA convs since pallas_call runs replicated under GSPMD).
+    # None = auto: shard_map whenever the mesh has >1 device (the default
+    # multi-chip path; GSPMD remains the opt-out for sync-BN semantics).
+    use_shard_map: Optional[bool] = None
     halt_on_nan: bool = True  # failure detection: stop on non-finite loss
     debug_nans: bool = False
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)

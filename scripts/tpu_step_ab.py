@@ -1,0 +1,61 @@
+"""Full-step A/B timing on the real chip (the only trustworthy measure —
+chained microbenchmarks are polluted by ~5 ms/dispatch relay overhead).
+
+Usage:
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_step_ab.py \
+        [variantA variantB ...]
+
+Each variant is a ModelConfig.conv_backend value ('auto', 'nofuse',
+'xla') optionally suffixed with flags, e.g. 'auto@rbg'. Measures the
+faithful UAPS SSL step (bs16+16, 256x256, bf16) per variant in ONE
+process and prints ms/step.
+"""
+import dataclasses
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from uaps_tpu.data.synthetic import synthetic_batch  # noqa: E402
+from uaps_tpu.methods import get_method, base as mbase  # noqa: E402
+from uaps_tpu.utils.config import preset  # noqa: E402
+
+BATCH, IMAGE, STEPS, WARM = 16, (256, 256), 20, 3
+
+
+def measure(backend: str) -> float:
+    cfg = preset("neu", method="uaps")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
+                                   image_size=IMAGE)
+    cfg.model = dataclasses.replace(cfg.model, compute_dtype="bfloat16",
+                                    conv_backend=backend)
+    method = get_method("uaps")
+    state, model = method.init_state(cfg, jax.random.key(0))
+    tx = mbase.make_optimizer(cfg.optim)
+    step = jax.jit(method.make_train_step(cfg, model, tx), donate_argnums=0)
+    rng = np.random.default_rng(0)
+    b = synthetic_batch(rng, BATCH, IMAGE, 4, 3)
+    # device_put ONCE — feeding numpy per step would re-upload ~26 MB
+    # through the tunnel every step and dominate the timing
+    batch = jax.device_put({"image": b["image"], "label": b["label"],
+                            "uimage": b["image"], "ulabel": b["label"]})
+    for _ in range(WARM):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / STEPS * 1000
+    print(f"{backend}: {dt:.1f} ms/step (loss {loss:.4f})", flush=True)
+    return dt
+
+
+if __name__ == "__main__":
+    assert jax.devices()[0].platform == "tpu"
+    variants = sys.argv[1:] or ["nofuse", "auto"]
+    results = {v: measure(v) for v in variants}
+    print("RESULTS", results)

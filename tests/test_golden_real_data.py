@@ -1,37 +1,60 @@
 """Golden-metric regression on real data (SURVEY.md §4f) — opt-in.
 
-Runs only when real dataset roots are provided via environment variables
-(the reference repo ships no images; data/NEU-Seg is a 1-byte placeholder):
+Runs when real NEU-Seg data is present, discovered in either of two ways
+(the reference repo ships no images; data/NEU-Seg is a 1-byte
+placeholder — provision with scripts/prepare_data.py):
 
-  UAPS_NEU_IMAGES / UAPS_NEU_MASKS / UAPS_NEU_TEST_IMAGES /
-  UAPS_NEU_TEST_MASKS   — NEU-Seg directories
-  UAPS_NEU_CKPT         — optional reference .pth to import and score
-                          against the stored-notebook numbers
-                          (BASELINE.md: mIoU 75.77 / mDice 85.20)
+1. Conventional layout (auto-discovered): $UAPS_DATA_ROOT/neu (default
+   /root/data/neu) with images/ annotations/ [test_images/
+   test_annotations/] — the layout `prepare_data.py ingest` produces.
+2. Explicit env vars: UAPS_NEU_IMAGES / UAPS_NEU_MASKS /
+   UAPS_NEU_TEST_IMAGES / UAPS_NEU_TEST_MASKS.
+
+UAPS_NEU_CKPT optionally names a trained reference .pth to import and
+score against the stored-notebook numbers (BASELINE.md: mIoU 75.77 /
+mDice 85.20, 0.5-pt target).
 """
 import os
 
 import numpy as np
 import pytest
 
-REQ = ["UAPS_NEU_IMAGES", "UAPS_NEU_MASKS"]
+_CONV = os.path.join(os.environ.get("UAPS_DATA_ROOT", "/root/data"), "neu")
+
+
+def _roots():
+    """(images, masks, test_images, test_masks) or None."""
+    if os.environ.get("UAPS_NEU_IMAGES"):
+        return (os.environ["UAPS_NEU_IMAGES"],
+                os.environ["UAPS_NEU_MASKS"],
+                os.environ.get("UAPS_NEU_TEST_IMAGES", ""),
+                os.environ.get("UAPS_NEU_TEST_MASKS", ""))
+    img = os.path.join(_CONV, "images")
+    if os.path.isdir(img):
+        t = os.path.join(_CONV, "test_images")
+        return (img, os.path.join(_CONV, "annotations"),
+                t if os.path.isdir(t) else "",
+                os.path.join(_CONV, "test_annotations")
+                if os.path.isdir(t) else "")
+    return None
+
 
 pytestmark = pytest.mark.skipif(
-    not all(os.environ.get(k) for k in REQ),
-    reason="real NEU-Seg data not provided (set UAPS_NEU_IMAGES/MASKS)",
+    _roots() is None,
+    reason="real NEU-Seg data not provided (run scripts/prepare_data.py "
+           "ingest --dataset neu --source <RAW>, or set "
+           "UAPS_NEU_IMAGES/MASKS)",
 )
 
 
 def _cfg():
     import dataclasses
     from uaps_tpu.utils.config import preset
+    img, mask, timg, tmask = _roots()
     cfg = preset("neu")
     cfg.data = dataclasses.replace(
-        cfg.data,
-        image_root=os.environ["UAPS_NEU_IMAGES"],
-        mask_root=os.environ["UAPS_NEU_MASKS"],
-        test_image_root=os.environ.get("UAPS_NEU_TEST_IMAGES", ""),
-        test_mask_root=os.environ.get("UAPS_NEU_TEST_MASKS", ""),
+        cfg.data, image_root=img, mask_root=mask,
+        test_image_root=timg, test_mask_root=tmask,
     )
     return cfg
 

@@ -198,6 +198,117 @@ class TestStackedDecoders:
         g = jax.grad(loss)(variables["params"])
         assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
 
+    def test_stacked_with_nchw_levels(self):
+        """ADVICE r1: the bare vmapped Decoder must inherit nchw_levels —
+        with the default nchw_levels=2 the first skip tensors arrive NCHW
+        and a NHWC-only decoder would fail at the skip concat."""
+        from uaps_tpu.methods import base
+        from uaps_tpu.models.unet import MultiDecoderUNet
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 64, 64, 3)),
+            jnp.float32)
+        rngs = {"dropout": jax.random.key(3), "perturb": jax.random.key(4)}
+        outs = {}
+        for lv in (0, 2):
+            model = MultiDecoderUNet(num_classes=4,
+                                     perturbations=("none", "none"),
+                                     nchw_levels=lv)
+            variables = model.init(
+                {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                 "perturb": jax.random.key(2)}, x, train=True)
+            o, _ = base.apply_train_stacked(
+                model, variables["params"], variables["batch_stats"], x,
+                rngs)
+            outs[lv] = o
+        # same init stream -> identical params; eval parity between
+        # layouts is covered by TestNchwIslands, here train-mode forward
+        # must agree through the stacked path too (dropout rate 0 at 64px
+        # levels 0-1? no — ConvBlock dropout draws differ by layout, so
+        # just require shapes+finiteness for the nchw run and exact match
+        # of decoder count)
+        assert len(outs[0]) == len(outs[2]) == 3
+        for o in outs[2]:
+            assert o.shape == (2, 64, 64, 4)
+            assert bool(jnp.isfinite(o).all())
+
+
+class TestFusedConvBlock:
+    """The fused ConvBlock path (BN-normalize+leaky inside the second
+    conv's prologue, pallas/conv_bnl.py) must match the standard
+    conv->flax-BN->leaky composition: same param tree, same outputs,
+    same running-stat updates, same gradients. On CPU the fused path
+    runs through conv3x3_bnl_reference (identical math to the kernel)."""
+
+    def _blocks(self):
+        from uaps_tpu.models.unet import ConvBlock
+        std = ConvBlock(16, 0.0, jnp.float32, "nchw")
+        fused = ConvBlock(16, 0.0, jnp.float32, "nchw", force_bnl=True)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 8, 32, 32)), jnp.float32)
+        v = std.init({"params": jax.random.key(0)}, x, train=True)
+        return std, fused, x, v
+
+    def test_param_tree_identical(self):
+        std, fused, x, v = self._blocks()
+        v2 = fused.init({"params": jax.random.key(0)}, x, train=True)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(v2)
+        for a, b in zip(jax.tree.leaves(v["params"]),
+                        jax.tree.leaves(v2["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_outputs_and_stats_match(self):
+        std, fused, x, v = self._blocks()
+        o1, m1 = std.apply(v, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fused.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(m1["batch_stats"]),
+                        jax.tree.leaves(m2["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_eval_outputs_match(self):
+        std, fused, x, v = self._blocks()
+        # push non-trivial running stats first
+        _, m = std.apply(v, x, train=True, mutable=["batch_stats"])
+        v2 = {"params": v["params"], "batch_stats": m["batch_stats"]}
+        o1 = std.apply(v2, x, train=False)
+        o2 = fused.apply(v2, x, train=False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match(self):
+        std, fused, x, v = self._blocks()
+
+        def loss(block, params):
+            out, _ = block.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out)
+
+        g1 = jax.grad(lambda p: loss(std, p))(v["params"])
+        g2 = jax.grad(lambda p: loss(fused, p))(v["params"])
+        # Conv biases feed straight into train-mode BN, so their TRUE
+        # gradient is exactly 0 (the mean subtracts them). The fused path
+        # returns that exact 0 (bias folded out algebraically); the
+        # standard path returns f32 cancellation noise ~n*eps*|g| (~6e-3
+        # here) — compare those leaves against zero instead. Elsewhere,
+        # elements with a = y*f+s near the leaky kink can flip branches
+        # under reassociation (~1e-3 on reduced leaves).
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g1),
+                                jax.tree.leaves(g2)):
+            name = jax.tree_util.keystr(path)
+            if "Conv" in name and "bias" in name:
+                np.testing.assert_allclose(np.asarray(b), 0.0, atol=1e-6,
+                                           err_msg=name)
+                np.testing.assert_allclose(np.asarray(a), 0.0, atol=2e-2,
+                                           err_msg=name)
+                continue
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-2, atol=3e-3,
+                err_msg=name)
+
 
 class TestNchwIslands:
     """nchw_levels runs the high-resolution stages in NCHW; eval-mode

@@ -72,6 +72,96 @@ class TestFusedDropout:
         assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="interpret-mode PRNG yields zeros on CPU; the "
+                           "kernel contracts run on real TPU (also driven "
+                           "by scripts/tpu_perturb_check.py)")
+class TestFusedPerturbKernels:
+    """Contracts of the pallas perturbation kernels (pallas/perturb.py)
+    vs reference semantics (UAPS_unet.py:156-185). The public custom-vjp
+    wrappers take the jax.random path on CPU; here the kernels themselves
+    run via the internal _call helpers."""
+
+    def _x(self, shape=(3, 8, 16, 128)):
+        return jnp.asarray(np.random.default_rng(3).standard_normal(
+            shape).astype(np.float32))
+
+    def test_dropout_kernel_gridded(self):
+        from uaps_tpu.pallas.perturb import _dropout_call
+        x = jnp.ones((4, 8, 16, 128))
+        seed = jnp.asarray(11, jnp.int32)
+        out = np.asarray(_dropout_call(seed, x, 0.5, False))
+        zero_frac = (out == 0).mean()
+        assert abs(zero_frac - 0.5) < 0.02
+        nz = out[out != 0]
+        np.testing.assert_allclose(nz, 2.0, rtol=1e-6)
+        # per-example masks must DIFFER (F.dropout semantics)
+        assert not np.array_equal(out[0], out[1])
+        # and regenerate identically
+        out2 = np.asarray(_dropout_call(seed, x, 0.5, False))
+        np.testing.assert_array_equal(out, out2)
+
+    def test_feature_noise_kernel_batch_shared(self):
+        from uaps_tpu.pallas.perturb import _noise_call
+        x = jnp.ones((3, 8, 16, 128))
+        seed = jnp.asarray(21, jnp.int32)
+        out = np.asarray(_noise_call(seed, x, 0.3, False))
+        factor = out - 1.0  # x=1 -> out = 1 + noise
+        assert factor.min() >= -0.3 - 1e-6 and factor.max() < 0.3 + 1e-6
+        assert abs(factor.mean()) < 0.01  # symmetric around 0
+        # noise SHARED across the batch (reference x.shape[1:] draw)
+        np.testing.assert_array_equal(out[0], out[1])
+        np.testing.assert_array_equal(out[0], out[2])
+
+    @pytest.mark.parametrize("ax", [1, 3])
+    def test_feature_dropout_kernel_semantics(self, ax):
+        from uaps_tpu.pallas.perturb import _fdrop_call
+        x = jnp.asarray(np.abs(np.random.default_rng(5).standard_normal(
+            (2, 8, 16, 128))).astype(np.float32))
+        seed = jnp.asarray(31, jnp.int32)
+        out = np.asarray(_fdrop_call(seed, x, ax, False))
+        xn = np.asarray(x)
+        att = xn.mean(axis=ax, keepdims=True)
+        for b in range(2):
+            zero = np.broadcast_to(out[b] == 0, xn[b].shape) | (xn[b] == 0)
+            # recover the implied threshold: zeros exactly where att >= t
+            a_b = np.broadcast_to(att[b], xn[b].shape)
+            dropped = (out[b] == 0) & (xn[b] != 0)
+            kept = out[b] != 0
+            if dropped.any() and kept.any():
+                t_lo = a_b[kept].max()      # kept pixels: att < t
+                t_hi = a_b[dropped].min()   # dropped pixels: att >= t
+                assert t_hi >= t_lo - 1e-5
+                mx = att[b].max()
+                assert 0.7 * mx - 1e-5 <= t_hi <= 0.9 * mx + 1e-5
+            # kept values pass through unchanged
+            np.testing.assert_allclose(out[b][kept], xn[b][kept],
+                                       rtol=1e-6)
+
+
+class TestFusedPerturbFallbacks:
+    """The platform-generic custom-vjp wrappers (jax.random path on CPU)
+    must be differentiable with mask-regenerating backward semantics."""
+
+    def test_public_api_cpu_fallbacks_differentiable(self):
+        from uaps_tpu.pallas.perturb import (fused_feature_dropout,
+                                             fused_feature_noise)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (2, 8, 16, 32)).astype(np.float32))
+        seed = jnp.asarray(7, jnp.int32)
+        out, vjp = jax.vjp(lambda v: fused_feature_noise(v, seed, 0.3), x)
+        (gx,) = vjp(jnp.ones_like(out))
+        # dx = 1 + noise = out/x elementwise
+        np.testing.assert_allclose(np.asarray(gx),
+                                   np.asarray(out) / np.asarray(x),
+                                   rtol=1e-4)
+        out2, vjp2 = jax.vjp(
+            lambda v: fused_feature_dropout(v, seed, -1), x)
+        (gx2,) = vjp2(jnp.ones_like(out2))
+        np.testing.assert_array_equal(np.asarray(gx2 != 0),
+                                      np.asarray(out2 != 0))
+
+
 class TestConv3x3Kernels:
     def _data(self, rng, b=2, h=16, w=128, cin=16, cout=8):
         x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)

@@ -153,7 +153,8 @@ def apply_train_stacked(model, params, batch_stats, x, rngs
     keys = jax.random.split(rngs["perturb"], len(model.perturbations))
     axes = getattr(model, "feat_channel_axes", None)
     feats_all = [feats] + [
-        perturb_features(k, feats, kind, axes)
+        perturb_features(k, feats, kind, axes,
+                         backend=model.conv_backend)
         for k, kind in zip(keys, model.perturbations)]
     stacked = [jnp.stack([fa[i] for fa in feats_all])
                for i in range(len(feats))]

@@ -64,11 +64,19 @@ class Conv3x3(nn.Module):
     variant: str = "taps"   # taps|im2col|dhdw|fullh (PERF.md ablations)
 
     @nn.compact
-    def __call__(self, x, return_stats: bool = False):
+    def __call__(self, x, return_stats: bool = False, *,
+                 apply_bias: bool = True, bnl=None):
         """return_stats=True (NCHW only) additionally returns the
         per-channel f32 (sum, sumsq, n) of the BIASED output over
         (B, H, W), computed for free in the kernel's accumulator —
-        StatsBatchNorm consumes them instead of re-reducing the tensor."""
+        StatsBatchNorm consumes them instead of re-reducing the tensor.
+
+        apply_bias=False returns (raw_conv_out, bias_param) so the
+        caller can fold the bias into a following BatchNorm
+        algebraically (the fused ConvBlock path).
+        bnl=(factor, shift) applies the previous BN's normalize + leaky
+        in the conv kernel's VMEM prologue (pallas/conv_bnl.py) — the
+        normalized tensor never round-trips HBM."""
         nchw = self.layout == "nchw"
         cin = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
@@ -85,6 +93,16 @@ class Conv3x3(nn.Module):
             and h >= 128 and w >= 128 and h % 8 == 0 and w % 128 == 0
             and self.features <= 32 and cin <= 64
         )
+        if bnl is not None:
+            assert nchw and not return_stats
+            from uaps_tpu.pallas.conv_bnl import (conv3x3_bnl,
+                                                  conv3x3_bnl_reference)
+            fn = conv3x3_bnl if use_pallas else conv3x3_bnl_reference
+            y = fn(x, bnl[0], bnl[1], kernel, self.out_dtype)
+            out = y  # bias applied by caller / folded downstream
+            if not apply_bias:
+                return out, bias
+            return out + bias.astype(out.dtype)[None, :, None, None]
         stats = None
         if use_pallas:
             variant = self.variant
@@ -111,6 +129,9 @@ class Conv3x3(nn.Module):
                 kernel = kernel.astype(self.out_dtype)
             y = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1), "SAME", dimension_numbers=dn)
+        if not apply_bias:
+            assert not return_stats
+            return y, bias
         b = bias.astype(y.dtype)
         out = y + (b[None, :, None, None] if nchw else b)
         if not return_stats:
@@ -164,6 +185,46 @@ class StatsBatchNorm(nn.Module):
         return x.astype(self.dtype) * factor + shift
 
 
+class BNFactorShift(nn.Module):
+    """BatchNorm folded to per-channel (factor, shift_eff) for the fused
+    conv path. Param/variable tree IDENTICAL to nn.BatchNorm (scale/bias
+    params + batch_stats mean/var). Consumes the RAW conv output's
+    moments (sum, sumsq over B,H,W) plus the conv bias b, so the
+    normalize can run inside the next conv's VMEM prologue:
+
+        BN(y + b) == y * factor + shift_eff
+
+    Running stats store moments of (y + b), matching the unfused path
+    (bias shifts the mean, leaves the variance)."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, s1, s2, n, conv_bias, *, train: bool = False):
+        c = s1.shape[0]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        b = conv_bias.astype(jnp.float32)
+        if train:
+            mean_raw = s1 / n
+            var = jnp.maximum(s2 / n - mean_raw * mean_raw, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * (mean_raw + b)
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            factor = jax.lax.rsqrt(var + self.epsilon) * scale
+            # (y+b)*factor + (bias - (mean_raw+b)*factor): b cancels
+            shift_eff = bias - mean_raw * factor
+        else:
+            factor = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            shift_eff = bias - (ra_mean.value - b) * factor
+        return factor, shift_eff
+
+
 class ConvBlock(nn.Module):
     """Conv3x3-BN-LeakyReLU, Dropout, Conv3x3-BN-LeakyReLU
     (UAPS_unet.py:31-47). layout picks the activation layout; BN params
@@ -171,7 +232,14 @@ class ConvBlock(nn.Module):
     moments from the conv kernel's accumulator (StatsBatchNorm) — kept as
     an ablation: it removes the ~10 ms/step of convert_reduce fusions but
     the in-kernel moment pass + the analytic-VJP dy folding cost MORE
-    (measured 113.3 vs 107.6 ms/step), so the default stays off."""
+    (measured 113.3 vs 107.6 ms/step), so the default stays off.
+
+    Fused path (NCHW, dropout_rate 0, conv_backend 'auto', TPU): the
+    middle BN-normalize + LeakyReLU runs inside the second conv's VMEM
+    prologue (pallas/conv_bnl.py) — the normalized tensor never
+    round-trips HBM, and the backward's mask/factor multiplies fuse into
+    the dgrad/wgrad kernels. Param tree unchanged. Opt out with
+    conv_backend='nofuse' (keeps the plain pallas convs)."""
     features: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
@@ -179,10 +247,18 @@ class ConvBlock(nn.Module):
     bn_stats: bool = False
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    force_bnl: bool = False   # tests: take the fused path on CPU
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         nchw = self.layout == "nchw"
+        use_fused = (
+            nchw and not self.bn_stats and self.dropout_rate == 0.0
+            and self.conv_backend == "auto"
+            and (self.force_bnl or jax.devices()[0].platform == "tpu")
+        )
+        if use_fused:
+            return self._fused(x, train)
 
         def conv_bn(x, conv_name, bn_name):
             if nchw and self.bn_stats:
@@ -207,6 +283,31 @@ class ConvBlock(nn.Module):
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = conv_bn(x, "Conv_1", "BatchNorm_1")
         return nn.leaky_relu(x)
+
+    def _fused(self, x, train: bool):
+        """conv1 -> (moments) -> [normalize+leaky fused into conv2's
+        prologue] -> (moments) -> normalize+leaky. Numerics: the fused
+        prologue computes the normalize in f32 (the unfused bf16 path
+        casts factor/shift to bf16 first) — same math, >= precision."""
+        conv_kw = dict(dtype=self.dtype, layout="nchw",
+                       backend=self.conv_backend,
+                       variant=self.conv_variant)
+        y1, b1 = Conv3x3(self.features, name="Conv_0",
+                         **conv_kw)(x, apply_bias=False)
+        n = y1.shape[0] * y1.shape[2] * y1.shape[3]
+        y1f = y1.astype(jnp.float32)
+        f1, s1 = BNFactorShift(name="BatchNorm_0")(
+            y1f.sum(axis=(0, 2, 3)), (y1f * y1f).sum(axis=(0, 2, 3)),
+            n, b1, train=train)
+        y2, b2 = Conv3x3(self.features, name="Conv_1",
+                         **conv_kw)(y1, apply_bias=False, bnl=(f1, s1))
+        y2f = y2.astype(jnp.float32)
+        f2, s2 = BNFactorShift(name="BatchNorm_1")(
+            y2f.sum(axis=(0, 2, 3)), (y2f * y2f).sum(axis=(0, 2, 3)),
+            n, b2, train=train)
+        out = (y2 * f2.astype(self.dtype)[None, :, None, None]
+               + s2.astype(self.dtype)[None, :, None, None])
+        return nn.leaky_relu(out)
 
 
 def max_pool_2x2(x: jax.Array, layout: str) -> jax.Array:
@@ -462,8 +563,8 @@ class DeepSupervisionDecoder(nn.Module):
             )
 
         def up(j):
-            lvl = 4 - j
-            return UpBlock(ft[lvl - 1], ft[lvl - 1], 0.0, self.bilinear,
+            # up1 -> ft[3] ... up4 -> ft[0] (m_unet.py:168-175)
+            return UpBlock(ft[4 - j], ft[4 - j], 0.0, self.bilinear,
                            self.dtype, conv_backend=self.conv_backend,
                            conv_variant=self.conv_variant, name=f"up{j}")
 
@@ -581,7 +682,8 @@ class MultiDecoderUNet(nn.Module):
             axes = self.feat_channel_axes
             for k, kind, dec in zip(keys, self.perturbations,
                                     self.aux_decoders):
-                pfeats = perturb_features(k, feats, kind, axes)
+                pfeats = perturb_features(k, feats, kind, axes,
+                                          backend=self.conv_backend)
                 outputs.append(dec(pfeats, train))
         return tuple(outputs)
 
@@ -663,7 +765,8 @@ class DeepSupervisionUNet(nn.Module):
                         name="encoder")(x, train)
         if self.perturbation != "none":
             key = self.make_rng("perturb")
-            feats = perturb_features(key, feats, self.perturbation)
+            feats = perturb_features(key, feats, self.perturbation,
+                                     backend=self.conv_backend)
         return ds_cls(
             self.num_classes, self.features, self.bilinear, self.dtype,
             conv_backend=self.conv_backend, conv_variant=self.conv_variant,

@@ -62,9 +62,16 @@ def feature_dropout(key: Array, x: Array, channel_axis: int = -1) -> Array:
 PERTURBATIONS = ("feature_noise", "dropout", "feature_dropout")
 
 
+def _kernel_seed(key: Array) -> Array:
+    """int32 seed for the pallas on-core PRNG, derived from a jax key."""
+    data = jax.random.key_data(key).astype(jnp.uint32)
+    return (data[..., 0] ^ data[..., -1]).astype(jnp.int32)
+
+
 def perturb_features(
     key: Array, features: Sequence[Array], kind: str,
     channel_axes: Sequence[int] | None = None,
+    backend: str = "auto",
 ) -> list[Array]:
     """Apply one perturbation kind to every skip tensor with split keys.
 
@@ -73,15 +80,37 @@ def perturb_features(
     gives the feature axis per tensor (default -1 everywhere; NCHW model
     stages pass 1 for their levels — noise/dropout are axis-agnostic,
     only feature_dropout's channel mean cares).
+
+    On TPU (backend != "xla") 4-D tensors route through the fused pallas
+    kernels (pallas/perturb.py): one PRNG pass in VMEM per example, masks
+    regenerated in the backward instead of stored (SURVEY §2.5's planned
+    native component). The jax.random path draws a different bit-stream
+    with the same distribution.
     """
     keys = jax.random.split(key, len(features))
     axes = (list(channel_axes) if channel_axes is not None
             else [-1] * len(features))
+    fused = (backend != "xla" and jax.devices()[0].platform == "tpu")
     if kind == "feature_noise":
+        if fused:
+            from uaps_tpu.pallas.perturb import fused_feature_noise
+            return [fused_feature_noise(f, _kernel_seed(k))
+                    if f.ndim == 4 else feature_noise(k, f)
+                    for k, f in zip(keys, features)]
         return [feature_noise(k, f) for k, f in zip(keys, features)]
     if kind == "dropout":
+        if fused:
+            from uaps_tpu.pallas.perturb import fused_dropout
+            return [fused_dropout(f, _kernel_seed(k))
+                    if f.ndim == 4 else dropout(k, f)
+                    for k, f in zip(keys, features)]
         return [dropout(k, f) for k, f in zip(keys, features)]
     if kind == "feature_dropout":
+        if fused:
+            from uaps_tpu.pallas.perturb import fused_feature_dropout
+            return [fused_feature_dropout(f, _kernel_seed(k), a)
+                    if f.ndim == 4 else feature_dropout(k, f, a)
+                    for k, f, a in zip(keys, features, axes)]
         return [feature_dropout(k, f, a)
                 for k, f, a in zip(keys, features, axes)]
     if kind == "none":

@@ -1,15 +1,27 @@
-"""Fused dropout with on-core PRNG and a mask-regenerating custom VJP.
+"""Fused perturbation kernels with on-core PRNG and mask-regenerating VJPs.
 
-The UAPS aux-decoder perturbations (UAPS_unet.py:156-185) are linear in x
-given their masks; torch stores each mask for backward. Here the TPU
-kernel seeds the per-core PRNG, generates the keep-mask, and applies
-inverted dropout in one VMEM pass; the BACKWARD kernel re-seeds the same
-PRNG and regenerates the identical mask — zero residual bytes to HBM
-(the pattern the reference can't express: its mask is torch autograd
-state).
+The UAPS aux-decoder perturbations (reference utilities/UAPS_unet.py:
+156-185 — Dropout, FeatureNoise, FeatureDropout) are (piecewise-) linear
+in x given their random draws; torch stores each mask/noise tensor for
+backward. Here each TPU kernel seeds the per-core PRNG, draws the
+randomness, and applies the perturbation in one VMEM pass over a
+per-example grid; the BACKWARD kernel re-seeds the same PRNG and
+regenerates the identical draw — zero residual bytes to HBM for
+dropout/noise (the pattern the reference cannot express: its masks are
+torch autograd state). FeatureDropout's mask depends on x (attention
+threshold), so x itself is the only residual.
 
-On non-TPU platforms a jax.random-based implementation with the same
-custom-VJP structure is used (different bit-stream, same distribution).
+Semantics per reference:
+  dropout          F.dropout(x, 0.5): per-element keep, survivors / (1-p)
+  feature_noise    noise ~ U(-r, r) of shape x.shape[1:], SHARED across
+                   the batch; out = x * (1 + noise)        (:172-185)
+  feature_dropout  attention = mean over channels; per-example spatial
+                   max; ONE scalar ~U(0.7, 0.9) per call; zero pixels
+                   with attention >= scalar * max            (:161-169)
+
+On non-TPU platforms jax.random-based implementations with the same
+custom-VJP structure run instead (different bit-stream, same
+distribution).
 """
 from __future__ import annotations
 
@@ -27,28 +39,40 @@ def _mask_from_bits(bits: jax.Array, rate: float) -> jax.Array:
     return (bits <= threshold)
 
 
-def _fwd_kernel(seed_ref, x_ref, out_ref, *, rate: float):
-    pltpu.prng_seed(seed_ref[0])
-    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
-    keep = _mask_from_bits(bits, rate)
-    scale = jnp.asarray(1.0 / (1.0 - rate), x_ref.dtype)
-    out_ref[...] = jnp.where(keep, x_ref[...] * scale,
-                             jnp.zeros_like(x_ref[...]))
+def _uniform01(shape) -> jax.Array:
+    """f32 uniform in [0, 1) from the seeded per-core PRNG (24-bit).
+
+    Mosaic has no uint32->f32 cast; the top-8-bit shift leaves a
+    non-negative value, so bitcast to int32 first."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return i24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _bwd_kernel(seed_ref, g_ref, out_ref, *, rate: float):
-    # regenerate the identical mask from the same seed
-    pltpu.prng_seed(seed_ref[0])
-    bits = pltpu.bitcast(pltpu.prng_random_bits(g_ref.shape), jnp.uint32)
-    keep = _mask_from_bits(bits, rate)
-    scale = jnp.asarray(1.0 / (1.0 - rate), g_ref.dtype)
-    out_ref[...] = jnp.where(keep, g_ref[...] * scale,
-                             jnp.zeros_like(g_ref[...]))
+def _use_pallas():
+    return jax.devices()[0].platform == "tpu"
 
 
-def _call(kernel, seed, x, rate, interpret):
+def _batched_call(kernel, seed, x, interpret, n_out_like=None):
+    """Run `kernel(seed_ref, x_block, o_block)` over a leading-axis grid
+    (one example per program). Falls back to a single program for rank<3
+    arrays (test shapes)."""
+    if x.ndim >= 3:
+        b = x.shape[0]
+        rest = x.shape[1:]
+        blk = (1,) + rest
+        idx = lambda bi: (bi,) + (0,) * len(rest)  # noqa: E731
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(seed, x)
     return pl.pallas_call(
-        functools.partial(kernel, rate=rate),
+        kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -57,8 +81,24 @@ def _call(kernel, seed, x, rate, interpret):
     )(seed, x)
 
 
-def _use_pallas():
-    return jax.devices()[0].platform == "tpu"
+# ---------------------------------------------------------------------------
+# dropout (per-element mask, differs per example)
+# ---------------------------------------------------------------------------
+
+def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float, gridded: bool):
+    # per-example seed offset -> per-example masks like F.dropout
+    off = pl.program_id(0) if gridded else 0
+    pltpu.prng_seed(seed_ref[0] + off)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    keep = _mask_from_bits(bits, rate)
+    scale = jnp.asarray(1.0 / (1.0 - rate), x_ref.dtype)
+    o_ref[...] = jnp.where(keep, x_ref[...] * scale,
+                           jnp.zeros_like(x_ref[...]))
+
+
+def _dropout_call(seed, x, rate, interpret):
+    k = functools.partial(_dropout_kernel, rate=rate, gridded=x.ndim >= 3)
+    return _batched_call(k, seed.reshape(1), x, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -69,7 +109,7 @@ def fused_dropout(x: jax.Array, seed: jax.Array, rate: float = 0.5):
     Other platforms: jax.random equivalent (mask also regenerated).
     """
     if _use_pallas():
-        return _call(_fwd_kernel, seed.reshape(1), x, rate, False)
+        return _dropout_call(seed, x, rate, False)
     keep = jax.random.bernoulli(jax.random.key(seed.astype(jnp.uint32)),
                                 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
@@ -80,8 +120,10 @@ def _fwd(x, seed, rate):
 
 
 def _bwd(rate, seed, g):
+    # dropout is linear given the mask: dx = mask-applied g; the mask is
+    # regenerated from the same seed, never stored
     if _use_pallas():
-        dx = _call(_bwd_kernel, seed.reshape(1), g, rate, False)
+        dx = _dropout_call(seed, g, rate, False)
     else:
         keep = jax.random.bernoulli(
             jax.random.key(seed.astype(jnp.uint32)), 1.0 - rate, g.shape)
@@ -90,3 +132,135 @@ def _bwd(rate, seed, g):
 
 
 fused_dropout.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# feature noise (U(-r, r) of shape x.shape[1:], shared across the batch)
+# ---------------------------------------------------------------------------
+
+def _noise_kernel(seed_ref, x_ref, o_ref, *, rng: float):
+    # SAME seed in every program -> identical noise per example, matching
+    # the reference's batch-broadcast noise (UAPS_unet.py:177-181)
+    pltpu.prng_seed(seed_ref[0])
+    u = _uniform01(x_ref.shape) * (2.0 * rng) - rng
+    o_ref[...] = (x_ref[...].astype(jnp.float32)
+                  * (1.0 + u)).astype(o_ref.dtype)
+
+
+def _noise_call(seed, x, rng, interpret):
+    k = functools.partial(_noise_kernel, rng=rng)
+    return _batched_call(k, seed.reshape(1), x, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_feature_noise(x: jax.Array, seed: jax.Array,
+                        uniform_range: float = 0.3):
+    """x * (1 + U(-r, r)), noise shared across the batch axis."""
+    if _use_pallas():
+        return _noise_call(seed, x, uniform_range, False)
+    noise = jax.random.uniform(
+        jax.random.key(seed.astype(jnp.uint32)), x.shape[1:],
+        dtype=jnp.float32, minval=-uniform_range, maxval=uniform_range)
+    return (x.astype(jnp.float32) * (1.0 + noise[None])).astype(x.dtype)
+
+
+def _noise_fwd(x, seed, rng):
+    return fused_feature_noise(x, seed, rng), seed
+
+
+def _noise_bwd(rng, seed, g):
+    # linear in x with fixed noise: dx = g * (1 + noise), regenerated
+    return fused_feature_noise(g, seed, rng), None
+
+
+fused_feature_noise.defvjp(_noise_fwd, _noise_bwd)
+
+
+# ---------------------------------------------------------------------------
+# feature dropout (attention-thresholded spatial mask)
+# ---------------------------------------------------------------------------
+
+def _fdrop_kernel(seed_ref, x_ref, o_ref, *, channel_axis: int):
+    # ONE scalar ~U(0.7, 0.9) per call (same seed every program -> shared
+    # across the batch, matching np.random.uniform in the reference :165)
+    pltpu.prng_seed(seed_ref[0])
+    scale = 0.7 + 0.2 * _uniform01((1, 1))[0, 0]
+    x = x_ref[...].astype(jnp.float32)          # [1, d1, d2, d3]
+    att = jnp.mean(x, axis=channel_axis, keepdims=True)
+    mx = jnp.max(att)                            # per-example spatial max
+    mask = (att < mx * scale).astype(jnp.float32)
+    o_ref[...] = (x * mask).astype(o_ref.dtype)
+
+
+def _fdrop_call(seed, x, channel_axis, interpret):
+    ax = channel_axis % x.ndim
+    assert x.ndim == 4 and ax != 0, (x.shape, channel_axis)
+    k = functools.partial(_fdrop_kernel, channel_axis=ax)
+    return _batched_call(k, seed.reshape(1), x, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_feature_dropout(x: jax.Array, seed: jax.Array,
+                          channel_axis: int = -1):
+    """Attention-thresholded spatial dropout (reference FeatureDropout).
+
+    The mask depends on x, so (matching torch, where comparisons are
+    non-differentiable) the VJP treats the mask as constant: dx = g*mask,
+    with x as the only residual."""
+    if _use_pallas():
+        return _fdrop_call(seed, x, channel_axis, False)
+    att = jnp.mean(x.astype(jnp.float32), axis=channel_axis, keepdims=True)
+    mx = jnp.max(att.reshape(x.shape[0], -1), axis=1)
+    scale = jax.random.uniform(jax.random.key(seed.astype(jnp.uint32)), (),
+                               minval=0.7, maxval=0.9)
+    thr = (mx * scale).reshape((-1,) + (1,) * (x.ndim - 1))
+    return (x.astype(jnp.float32)
+            * (att < thr).astype(jnp.float32)).astype(x.dtype)
+
+
+def _fdrop_fwd(x, seed, channel_axis):
+    return fused_feature_dropout(x, seed, channel_axis), (x, seed)
+
+
+def _fdrop_bwd(channel_axis, res, g):
+    x, seed = res
+    # regenerate the mask from x + the seeded scalar, apply to g. Reuse
+    # the forward kernels on |sign trick|: mask*g == fwd(g with x's mask);
+    # the kernel needs x to compute attention, so recompute via where():
+    if _use_pallas():
+        # one fused kernel pass: mask(x) applied to g
+        ax = channel_axis % x.ndim
+
+        def kern(seed_ref, x_ref, g_ref, o_ref):
+            pltpu.prng_seed(seed_ref[0])
+            scale = 0.7 + 0.2 * _uniform01((1, 1))[0, 0]
+            xf = x_ref[...].astype(jnp.float32)
+            att = jnp.mean(xf, axis=ax, keepdims=True)
+            mask = (att < jnp.max(att) * scale).astype(jnp.float32)
+            o_ref[...] = (g_ref[...].astype(jnp.float32)
+                          * mask).astype(o_ref.dtype)
+
+        b, rest = x.shape[0], x.shape[1:]
+        blk = (1,) + rest
+        idx = lambda bi: (bi,) + (0,) * len(rest)  # noqa: E731
+        dx = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+                      pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(seed.reshape(1), x, g)
+        return dx, None
+    att = jnp.mean(x.astype(jnp.float32), axis=channel_axis, keepdims=True)
+    mx = jnp.max(att.reshape(x.shape[0], -1), axis=1)
+    scale = jax.random.uniform(jax.random.key(seed.astype(jnp.uint32)), (),
+                               minval=0.7, maxval=0.9)
+    thr = (mx * scale).reshape((-1,) + (1,) * (x.ndim - 1))
+    dx = (g.astype(jnp.float32)
+          * (att < thr).astype(jnp.float32)).astype(g.dtype)
+    return dx, None
+
+
+fused_feature_dropout.defvjp(_fdrop_fwd, _fdrop_bwd)

@@ -113,8 +113,13 @@ class Trainer:
             step_fn = self.method.make_train_step(cfg, self.model, self.tx)
             self.train_step = jax.jit(step_fn, donate_argnums=0)
         # K-step scan per dispatch (RunConfig.steps_per_dispatch):
-        # identical updates, one host round-trip per K steps
-        self.k_dispatch = max(1, cfg.run.steps_per_dispatch)
+        # identical updates, one host round-trip per K steps. 0 = auto
+        # (4 on a single-TPU run, 1 elsewhere).
+        k = cfg.run.steps_per_dispatch
+        if k == 0:
+            k = (4 if (jax.devices()[0].platform == "tpu"
+                       and self.mesh.devices.size == 1) else 1)
+        self.k_dispatch = max(1, k)
         if cfg.run.profile_steps or (
                 self.use_shard_map and self.mesh.devices.size > 1):
             self.k_dispatch = 1
@@ -329,6 +334,8 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--out_dir", default=None)
     p.add_argument("--image_root", default=None)
     p.add_argument("--mask_root", default=None)
+    p.add_argument("--test_image_root", default=None)
+    p.add_argument("--test_mask_root", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--debug_nans", action="store_true")
@@ -368,7 +375,9 @@ def parse_args(argv=None) -> Config:
         data=rep(cfg.data, num_classes=args.num_classes,
                  batch_size=args.batch_size,
                  labeled_fraction=args.labeled_fraction,
-                 image_root=args.image_root, mask_root=args.mask_root),
+                 image_root=args.image_root, mask_root=args.mask_root,
+                 test_image_root=args.test_image_root,
+                 test_mask_root=args.test_mask_root),
         model=rep(cfg.model, name=args.model, n_aux=args.n_aux,
                   compute_dtype=args.dtype,
                   stack_decoders=args.stack_decoders or None,

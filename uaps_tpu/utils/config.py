@@ -130,8 +130,10 @@ class RunConfig:
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)
     # K > 1 runs K train steps per dispatch via lax.scan over stacked
     # batches — semantically identical updates, amortizes the per-dispatch
-    # host round-trip (~5 ms on the tunneled v5e relay)
-    steps_per_dispatch: int = 1
+    # host round-trip (~5 ms on the tunneled v5e relay). 0 = auto: 4 on
+    # TPU single-device runs (where dispatch overhead is real), 1
+    # elsewhere (profiling and shard_map force 1 regardless).
+    steps_per_dispatch: int = 0
 
 
 @dataclasses.dataclass
@@ -143,11 +145,32 @@ class Config:
     run: RunConfig = dataclasses.field(default_factory=RunConfig)
 
 
+def _discover_roots(data: DataConfig) -> DataConfig:
+    """Fill empty image/mask roots from the conventional data layout
+    ($UAPS_DATA_ROOT/<dataset>, default /root/data/<dataset> — the layout
+    scripts/prepare_data.py produces), so a provisioned machine trains
+    with just `python -m uaps_tpu.train --preset neu`."""
+    if data.image_root:
+        return data
+    base = os.path.join(os.environ.get("UAPS_DATA_ROOT", "/root/data"),
+                        data.name)
+    img = os.path.join(base, "images")
+    if not os.path.isdir(img):
+        return data
+    kw = dict(image_root=img, mask_root=os.path.join(base, "annotations"))
+    t = os.path.join(base, "test_images")
+    if os.path.isdir(t):
+        kw.update(test_image_root=t,
+                  test_mask_root=os.path.join(base, "test_annotations"))
+    return dataclasses.replace(data, **kw)
+
+
 def _neu(method: str = "uaps") -> Config:
     """NEU-Seg 10% labeled (reference root trainers)."""
     return Config(
-        data=DataConfig(name="neu", num_classes=4, in_channels=3,
-                        batch_size=16, labeled_fraction=0.10),
+        data=_discover_roots(
+            DataConfig(name="neu", num_classes=4, in_channels=3,
+                       batch_size=16, labeled_fraction=0.10)),
         model=ModelConfig(name=_model_for(method)),
         method=MethodConfig(name=method),
     )
@@ -165,10 +188,10 @@ def _dagm() -> Config:
     """DAGM: 7 classes, grayscale, 10% labeled; fixes the reference's
     'unet_ccps' factory bug by actually using unet_uaps (SURVEY §2.3)."""
     return Config(
-        data=DataConfig(
+        data=_discover_roots(DataConfig(
             name="dagm", num_classes=7, in_channels=1, batch_size=16,
             labeled_fraction=0.10, mean=(0.5314,), std=(0.1357,),
-        ),
+        )),
         model=ModelConfig(name="unet_uaps"),
         method=MethodConfig(name="uaps"),
     )
@@ -180,8 +203,9 @@ def _mtiles() -> Config:
     UNRAMPED l_uncert (MTiles UAPS_train.py:287) — exposed as flags,
     defaulting to the reference's effective behavior."""
     return Config(
-        data=DataConfig(name="mtiles", num_classes=6, batch_size=16,
-                        labeled_fraction=0.40),
+        data=_discover_roots(
+            DataConfig(name="mtiles", num_classes=6, batch_size=16,
+                       labeled_fraction=0.40)),
         model=ModelConfig(name="unet_uaps"),
         method=MethodConfig(name="uaps", decoder_consistency_weight=0.0,
                             unramped_uncertainty=True),
@@ -194,9 +218,10 @@ def _kosdd2() -> Config:
     """KolektorSDD2: binary, 512x256->landscape, 40% labeled, bs 12,
     lr 2e-3, rampup 150."""
     return Config(
-        data=DataConfig(name="kosdd2", num_classes=2, batch_size=12,
-                        image_size=(256, 512), labeled_fraction=0.40,
-                        transpose_to_landscape=True, binarize_mask=True),
+        data=_discover_roots(
+            DataConfig(name="kosdd2", num_classes=2, batch_size=12,
+                       image_size=(256, 512), labeled_fraction=0.40,
+                       transpose_to_landscape=True, binarize_mask=True)),
         model=ModelConfig(name="unet_uaps"),
         method=MethodConfig(name="uaps", consistency_rampup=150.0),
         optim=OptimConfig(base_lr=2e-3),

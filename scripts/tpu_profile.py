@@ -1,9 +1,9 @@
 """Op-level device profile of the faithful UAPS step on the real chip.
 
 Runs a few steps under jax.profiler (works through the relay — PERF.md),
-parses the Chrome trace (plugins/profile/*/vm.trace.json.gz, pid 3 =
-TPU device), and prints per-op device-time sums bucketed by category,
-normalized per step.
+parses the Chrome trace (plugins/profile/*/*.trace.json.gz), and prints
+per-op device-time sums from the 'XLA Ops' leaf track, bucketed by
+op-name root, normalized per step.
 
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_profile.py \
         [conv_backend] [out_dir]
@@ -13,6 +13,7 @@ import dataclasses
 import glob
 import gzip
 import json
+import re
 import sys
 import time
 
@@ -29,26 +30,39 @@ BATCH, IMAGE = 16, (256, 256)
 PROF_STEPS = 3
 
 
-def categorize(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "pallas" in n or "conv3x3" in n \
-            or "bnl" in n or "tpu_custom_call" in n:
-        return "pallas custom calls"
-    if "convolution" in n or "conv_general" in n:
-        return "xla convs"
-    if "transpose" in n or "copy" in n or "data formatting" in n:
-        return "copies/transposes"
-    if "pad" in n:
-        return "pads"
-    if "reduce-window" in n or "select-and-scatter" in n:
-        return "maxpool fwd+bwd"
-    if "convert" in n and "reduce" in n:
-        return "convert_reduce (BN stats)"
-    if "fusion" in n:
-        return "xla fusions"
-    if "dot" in n:
-        return "dots"
-    return "misc"
+def parse_trace(out_dir: str, steps: int):
+    """Sum device times on the 'XLA Ops' leaf track, bucketed by op-name
+    root (trailing digits/dots stripped)."""
+    traces = sorted(glob.glob(
+        out_dir + "/plugins/profile/*/*.trace.json.gz"))
+    assert traces, f"no trace under {out_dir}"
+    with gzip.open(traces[-1], "rt") as fh:
+        data = json.load(fh)
+    ev = data["traceEvents"]
+    tids = {}
+    dev_pid = 3
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name" and \
+                "TPU" in str(e.get("args", {}).get("name", "")):
+            dev_pid = e["pid"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e.get("tid"))] = e["args"]["name"]
+    roots = collections.Counter()
+    counts = collections.Counter()
+    total = 0
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") != dev_pid:
+            continue
+        if tids.get((dev_pid, e.get("tid"))) != "XLA Ops":
+            continue
+        r = re.sub(r"[.\d]+$", "", e["name"])
+        roots[r] += e["dur"]
+        counts[r] += 1
+        total += e["dur"]
+    print(f"device total: {total / 1000 / steps:.1f} ms/step")
+    for r, us in roots.most_common(25):
+        print(f"  {us / 1000 / steps:7.2f} ms  {counts[r] // steps:5d}"
+              f"/step  {r}")
 
 
 def main():
@@ -65,8 +79,8 @@ def main():
     step = jax.jit(method.make_train_step(cfg, model, tx), donate_argnums=0)
     rng = np.random.default_rng(0)
     b = synthetic_batch(rng, BATCH, IMAGE, 4, 3)
-    batch = {"image": b["image"], "label": b["label"],
-             "uimage": b["image"], "ulabel": b["label"]}
+    batch = jax.device_put({"image": b["image"], "label": b["label"],
+                            "uimage": b["image"], "ulabel": b["label"]})
     for _ in range(3):
         state, metrics = step(state, batch)
     float(metrics["loss"])
@@ -77,39 +91,8 @@ def main():
     float(metrics["loss"])
     jax.profiler.stop_trace()
     wall = (time.perf_counter() - t0) / PROF_STEPS * 1000
-    print(f"wall: {wall:.1f} ms/step ({backend})")
-
-    traces = sorted(glob.glob(
-        out_dir + "/plugins/profile/*/*.trace.json.gz"))
-    assert traces, f"no trace under {out_dir}"
-    with gzip.open(traces[-1], "rt") as fh:
-        data = json.load(fh)
-    # device pid: the one whose name mentions TPU, else pid 3
-    dev_pids = {e.get("pid") for e in data["traceEvents"]
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))}
-    cats = collections.Counter()
-    counts = collections.Counter()
-    names = collections.Counter()
-    for e in data["traceEvents"]:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if dev_pids and e.get("pid") not in dev_pids:
-            continue
-        if not dev_pids and e.get("pid") != 3:
-            continue
-        c = categorize(e.get("name", ""))
-        cats[c] += e["dur"]
-        counts[c] += 1
-        names[e.get("name", "")[:60]] += e["dur"]
-    total = sum(cats.values()) / 1000 / PROF_STEPS
-    print(f"device total: {total:.1f} ms/step")
-    for c, us in cats.most_common():
-        print(f"  {us / 1000 / PROF_STEPS:7.2f} ms  {c}  "
-              f"({counts[c] // PROF_STEPS} calls/step)")
-    print("top ops:")
-    for n, us in names.most_common(12):
-        print(f"  {us / 1000 / PROF_STEPS:7.2f} ms  {n}")
+    print(f"wall (incl. tracing): {wall:.1f} ms/step ({backend})")
+    parse_trace(out_dir, PROF_STEPS)
 
 
 if __name__ == "__main__":

@@ -21,12 +21,21 @@ sys.path.insert(0, "/root/repo")
 
 from uaps_tpu.data.synthetic import synthetic_batch  # noqa: E402
 from uaps_tpu.methods import get_method, base as mbase  # noqa: E402
+from uaps_tpu.models.unet import max_pool_2x2 as _orig_max_pool  # noqa: E402
 from uaps_tpu.utils.config import preset  # noqa: E402
 
 BATCH, IMAGE, STEPS, WARM = 16, (256, 256), 20, 3
 
 
-def measure(backend: str) -> float:
+def measure(variant: str) -> float:
+    backend, _, flags = variant.partition("@")
+    import uaps_tpu.models.unet as unet_mod
+    if "xlapool" in flags:
+        # force the XLA reduce_window path regardless of shape gate
+        unet_mod.max_pool_2x2 = \
+            lambda x, layout, backend="auto": _orig_max_pool(x, layout, "xla")
+    else:
+        unet_mod.max_pool_2x2 = _orig_max_pool
     cfg = preset("neu", method="uaps")
     cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
                                    image_size=IMAGE)
@@ -56,6 +65,6 @@ def measure(backend: str) -> float:
 
 if __name__ == "__main__":
     assert jax.devices()[0].platform == "tpu"
-    variants = sys.argv[1:] or ["nofuse", "auto"]
+    variants = sys.argv[1:] or ["auto@xlapool", "auto"]
     results = {v: measure(v) for v in variants}
     print("RESULTS", results)

@@ -162,6 +162,57 @@ class TestFusedPerturbFallbacks:
                                       np.asarray(out2 != 0))
 
 
+class TestMaxPoolKernel:
+    """pallas/maxpool.py (custom elementwise-mask VJP) vs the XLA
+    reduce_window/select-and-scatter composition. Ties must route to the
+    FIRST window max in row-major order — both implementations'
+    semantics (and torch nn.MaxPool2d's, utilities/UAPS_unet.py:53)."""
+
+    def _oracle(self, x):
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                     (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+
+    def test_forward_matches(self, rng):
+        from uaps_tpu.pallas.maxpool import max_pool_2x2_fast
+        x = jnp.asarray(rng.standard_normal((2, 4, 32, 256)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_2x2_fast(x, True)),
+            np.asarray(self._oracle(x)))
+
+    def test_backward_matches_select_and_scatter(self, rng):
+        from uaps_tpu.pallas.maxpool import max_pool_2x2_fast
+        x = jnp.asarray(rng.standard_normal((2, 4, 32, 256)), jnp.float32)
+        cot = jnp.asarray(rng.standard_normal((2, 4, 16, 128)),
+                          jnp.float32)
+
+        def via_kernel(v):
+            return jnp.sum(max_pool_2x2_fast(v, True) * cot)
+
+        def via_xla(v):
+            return jnp.sum(self._oracle(v) * cot)
+
+        gk = jax.grad(via_kernel)(x)
+        gx = jax.grad(via_xla)(x)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(gx))
+
+    def test_backward_tie_routing(self):
+        from uaps_tpu.pallas.maxpool import max_pool_2x2_fast
+        # all-equal window: gradient must go to the FIRST element only
+        x = jnp.ones((1, 1, 16, 256), jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(max_pool_2x2_fast(v, True)))(x)
+        gx = jax.grad(lambda v: jnp.sum(self._oracle(v)))(x)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(gx))
+        assert float(g[0, 0, 0, 0]) == 1.0 and float(g[0, 0, 0, 1]) == 0.0
+
+    def test_bf16(self, rng):
+        from uaps_tpu.pallas.maxpool import max_pool_2x2_fast
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 256)),
+                        jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_2x2_fast(x, True)),
+            np.asarray(self._oracle(x)))
+
+
 class TestConv3x3Kernels:
     def _data(self, rng, b=2, h=16, w=128, cin=16, cout=8):
         x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)

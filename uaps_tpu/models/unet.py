@@ -234,12 +234,17 @@ class ConvBlock(nn.Module):
     the in-kernel moment pass + the analytic-VJP dy folding cost MORE
     (measured 113.3 vs 107.6 ms/step), so the default stays off.
 
-    Fused path (NCHW, dropout_rate 0, conv_backend 'auto', TPU): the
+    Fused path (NCHW, dropout_rate 0, conv_backend 'fused', TPU): the
     middle BN-normalize + LeakyReLU runs inside the second conv's VMEM
     prologue (pallas/conv_bnl.py) — the normalized tensor never
     round-trips HBM, and the backward's mask/factor multiplies fuse into
-    the dgrad/wgrad kernels. Param tree unchanged. Opt out with
-    conv_backend='nofuse' (keeps the plain pallas convs)."""
+    the dgrad/wgrad kernels. Param tree unchanged. MEASURED SLOWER than
+    the default plain-conv path (101.3 vs 98.0 ms/step faithful UAPS
+    bf16 bs16, r2 A/B + profile: the bnl kernels cost +4.5 ms of
+    prologue/mask/df-ds work while XLA was already fusing the
+    normalize+leaky into neighboring ops), so it is OPT-IN via
+    conv_backend='fused'; kept for the exact-zero conv-bias grads and as
+    the base for future fusion work."""
     features: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
@@ -254,8 +259,7 @@ class ConvBlock(nn.Module):
         nchw = self.layout == "nchw"
         use_fused = (
             nchw and not self.bn_stats and self.dropout_rate == 0.0
-            and self.conv_backend == "auto"
-            and (self.force_bnl or jax.devices()[0].platform == "tpu")
+            and (self.conv_backend == "fused" or self.force_bnl)
         )
         if use_fused:
             return self._fused(x, train)
@@ -310,8 +314,18 @@ class ConvBlock(nn.Module):
         return nn.leaky_relu(out)
 
 
-def max_pool_2x2(x: jax.Array, layout: str) -> jax.Array:
+def max_pool_2x2(x: jax.Array, layout: str,
+                 backend: str = "auto") -> jax.Array:
     if layout == "nchw":
+        h, w = x.shape[2:4]
+        if backend == "maskpool" and h % 2 == 0 and w % 2 == 0:
+            # select-and-scatter-free backward (pallas/maxpool.py):
+            # same fwd, same tie semantics, backward as fused
+            # elementwise mask ops. Step A/B measured it perf-NEUTRAL
+            # (98.6 vs 97.9 ms/step faithful UAPS — the mask ops cost
+            # what select-and-scatter cost), so it is opt-in only.
+            from uaps_tpu.pallas.maxpool import max_pool_2x2_fast
+            return max_pool_2x2_fast(x)
         # init must be the scalar literal -inf for jax to recognize the
         # max-pool monoid (an array init kills the reverse-mode rule)
         return jax.lax.reduce_window(
@@ -336,7 +350,7 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = max_pool_2x2(x, self.in_layout)
+        x = max_pool_2x2(x, self.in_layout, self.conv_backend)
         if self.in_layout != self.layout:
             x = to_nhwc(x) if self.layout == "nhwc" else to_nchw(x)
         return ConvBlock(self.features, self.dropout_rate, self.dtype,

@@ -56,9 +56,13 @@ class ModelConfig:
     nchw_levels: int = 2
     # Pallas kernel dispatch, threaded through module attributes (NOT a
     # module global — two Trainers with different settings coexist):
-    #   "auto": pallas conv/loss kernels on TPU where shape-gated
-    #   "xla":  plain XLA everywhere (the GSPMD >1-device setting, where
-    #           pallas_call would run replicated)
+    #   "auto":  pallas conv/loss kernels on TPU where shape-gated (the
+    #            fastest measured configuration)
+    #   "fused": additionally fuse BN-normalize+leaky into the second
+    #            ConvBlock conv's prologue (pallas/conv_bnl.py) —
+    #            measured +3.3 ms/step vs "auto" (r2), kept opt-in
+    #   "xla":   plain XLA everywhere (the GSPMD >1-device setting,
+    #            where pallas_call would run replicated)
     conv_backend: str = "auto"
     # conv kernel variant (taps|im2col|dhdw|fullh — PERF.md ablations);
     # env UAPS_CONV_VARIANT overrides at config construction time only

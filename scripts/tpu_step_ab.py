@@ -29,6 +29,8 @@ BATCH, IMAGE, STEPS, WARM = 16, (256, 256), 20, 3
 
 def measure(variant: str) -> float:
     backend, _, flags = variant.partition("@")
+    flag_kv = dict(f.split("=", 1) for f in flags.split(",")
+                   if "=" in f)
     import uaps_tpu.models.unet as unet_mod
     if "xlapool" in flags:
         # force the XLA reduce_window path regardless of shape gate
@@ -39,8 +41,10 @@ def measure(variant: str) -> float:
     cfg = preset("neu", method="uaps")
     cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
                                    image_size=IMAGE)
-    cfg.model = dataclasses.replace(cfg.model, compute_dtype="bfloat16",
-                                    conv_backend=backend)
+    cfg.model = dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16", conv_backend=backend,
+        head_variant=flag_kv.get("head", "taps"),
+        dropout_backend=flag_kv.get("drop", "xla"))
     method = get_method("uaps")
     state, model = method.init_state(cfg, jax.random.key(0))
     tx = mbase.make_optimizer(cfg.optim)

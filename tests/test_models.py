@@ -412,3 +412,60 @@ class TestStatsBatchNorm:
 
         g = jax.grad(loss)(v["params"])
         assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+class TestPerfToggles:
+    """head_variant / dropout_backend (ModelConfig r2 A/B knobs) must be
+    param-tree-compatible and numerically equivalent where exact."""
+
+    def test_head_variant_xla_same_tree_and_values(self):
+        # 128x128 so the nchw path is exercised; on CPU both heads lower
+        # to lax.conv, so outputs must agree to float tolerance
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 128, 128, 3)),
+            jnp.float32)
+        m1 = net_factory("unet", class_num=4, nchw_levels=2)
+        m2 = net_factory("unet", class_num=4, nchw_levels=2,
+                         head_variant="xla")
+        v1 = _init(m1, x)
+        flat1 = jax.tree_util.tree_structure(v1["params"])
+        v2 = _init(m2, x)
+        assert jax.tree_util.tree_structure(v2["params"]) == flat1
+        o1, _ = _apply(m1, v1, x)
+        o2, _ = _apply(m2, v1, x)  # SAME params through both heads
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_dropout_backend_pallas_trains_and_is_deterministic_eval(self):
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 32, 32, 3)),
+            jnp.float32)
+        m = net_factory("unet", class_num=4, dropout_backend="pallas")
+        v = _init(m, x)
+        o_train, _ = _apply(m, v, x, train=True)
+        # eval: no dropout branch taken -> deterministic, matches the
+        # xla-backend model bit-for-bit (same params)
+        m_ref = net_factory("unet", class_num=4)
+        o_eval1 = _apply(m, v, x, train=False)
+        o_eval2 = _apply(m_ref, v, x, train=False)
+        np.testing.assert_array_equal(np.asarray(o_eval1),
+                                      np.asarray(o_eval2))
+        assert not np.allclose(np.asarray(o_train), np.asarray(o_eval1))
+
+    def test_dropout_backend_pallas_grads_flow(self):
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 32, 32, 3)),
+            jnp.float32)
+        m = net_factory("unet", class_num=4, dropout_backend="pallas")
+        v = _init(m, x)
+
+        def loss(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(7)})
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        norms = [float(jnp.sum(jnp.abs(p))) for p in jax.tree.leaves(g)]
+        assert all(np.isfinite(norms)) and sum(norms) > 0

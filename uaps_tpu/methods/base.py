@@ -105,6 +105,8 @@ def build_model(cfg):
     if cfg.model.name in ("unet", "unet_uaps", "unet_cct", "unet_ucc",
                           "unet_ccps"):
         kwargs["nchw_levels"] = cfg.model.nchw_levels
+        kwargs["head_variant"] = cfg.model.head_variant
+        kwargs["dropout_backend"] = cfg.model.dropout_backend
     return net_factory(cfg.model.name, in_chns=cfg.data.in_channels,
                        class_num=cfg.data.num_classes, dtype=dtype, **kwargs)
 

@@ -252,6 +252,7 @@ class ConvBlock(nn.Module):
     bn_stats: bool = False
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    dropout_backend: str = "xla"  # xla (nn.Dropout) | pallas (fused)
     force_bnl: bool = False   # tests: take the fused path on CPU
 
     @nn.compact
@@ -284,7 +285,18 @@ class ConvBlock(nn.Module):
         x = conv_bn(x, "Conv_0", "BatchNorm_0")
         x = nn.leaky_relu(x)  # negative_slope 0.01 == torch default
         if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            if self.dropout_backend == "pallas":
+                # fused on-core-PRNG dropout (pallas/perturb.py): the
+                # mask is regenerated in the VJP, so neither the mask
+                # nor the threefry bits tensor is ever materialized
+                if train:
+                    from uaps_tpu.ops.perturbations import _kernel_seed
+                    from uaps_tpu.pallas.perturb import fused_dropout
+                    seed = _kernel_seed(self.make_rng("dropout"))
+                    x = fused_dropout(x, seed, self.dropout_rate)
+            else:
+                x = nn.Dropout(self.dropout_rate,
+                               deterministic=not train)(x)
         x = conv_bn(x, "Conv_1", "BatchNorm_1")
         return nn.leaky_relu(x)
 
@@ -347,6 +359,7 @@ class DownBlock(nn.Module):
     in_layout: str = "nhwc"
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    dropout_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -355,7 +368,9 @@ class DownBlock(nn.Module):
             x = to_nhwc(x) if self.layout == "nhwc" else to_nchw(x)
         return ConvBlock(self.features, self.dropout_rate, self.dtype,
                          self.layout, conv_backend=self.conv_backend,
-                         conv_variant=self.conv_variant)(x, train=train)
+                         conv_variant=self.conv_variant,
+                         dropout_backend=self.dropout_backend,
+                         )(x, train=train)
 
 
 def _align_corners_weights(n_in: int, n_out: int) -> jnp.ndarray:
@@ -482,6 +497,7 @@ class Encoder(nn.Module):
     nchw_levels: int = 0
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    dropout_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -493,12 +509,14 @@ class Encoder(nn.Module):
         feats = [ConvBlock(ft[0], dp[0], self.dtype, lay[0],
                            conv_backend=self.conv_backend,
                            conv_variant=self.conv_variant,
+                           dropout_backend=self.dropout_backend,
                            name="in_conv")(x, train=train)]
         for i in range(1, 5):
             feats.append(DownBlock(
                 ft[i], dp[i], self.dtype, lay[i], lay[i - 1],
                 conv_backend=self.conv_backend,
                 conv_variant=self.conv_variant,
+                dropout_backend=self.dropout_backend,
                 name=f"down{i}")(feats[-1], train=train))
         return feats
 
@@ -516,6 +534,7 @@ class Decoder(nn.Module):
     nchw_levels: int = 0
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    head_variant: str = "taps"   # out_conv: taps|im2col|dhdw|xla
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
@@ -532,12 +551,18 @@ class Decoder(nn.Module):
                         conv_variant=self.conv_variant,
                         name=f"up{j + 1}")(x, skip, train=train)
         if lay[0] == "nchw":
+            if self.head_variant == "xla":
+                # param tree identical to the pallas head (HWIO kernel +
+                # bias under 'out_conv'); logits come out NHWC directly
+                return nn.Conv(self.num_classes, (3, 3), padding=1,
+                               dtype=jnp.float32,
+                               name="out_conv")(to_nhwc(x))
             # bf16 inputs/weights, f32 logits straight from the kernel's
             # f32 accumulator (f32-in out_conv profiled 2x slower)
             logits = Conv3x3(self.num_classes, self.dtype, "nchw",
                              out_dtype=jnp.float32,
                              backend=self.conv_backend,
-                             variant=self.conv_variant, name="out_conv")(x)
+                             variant=self.head_variant, name="out_conv")(x)
             return to_nhwc(logits)
         logits = nn.Conv(
             self.num_classes, (3, 3), padding=1, dtype=jnp.float32,
@@ -623,16 +648,20 @@ class UNet(nn.Module):
     nchw_levels: int = 0
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    head_variant: str = "taps"
+    dropout_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         enc_cls, dec_cls = _maybe_remat(self.remat)
         feats = enc_cls(self.features, self.dropout, self.dtype,
                         self.nchw_levels, self.conv_backend,
-                        self.conv_variant, name="encoder")(x, train)
+                        self.conv_variant, self.dropout_backend,
+                        name="encoder")(x, train)
         return dec_cls(self.num_classes, self.features, self.bilinear,
                        self.dtype, self.nchw_levels, self.conv_backend,
-                       self.conv_variant, name="decoder")(feats, train)
+                       self.conv_variant, self.head_variant,
+                       name="decoder")(feats, train)
 
 
 class MultiDecoderUNet(nn.Module):
@@ -664,20 +693,23 @@ class MultiDecoderUNet(nn.Module):
     nchw_levels: int = 0
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    head_variant: str = "taps"
+    dropout_backend: str = "xla"
 
     def setup(self):
         enc_cls, dec_cls = _maybe_remat(self.remat)
         self.encoder = enc_cls(self.features, self.dropout, self.dtype,
                                self.nchw_levels, self.conv_backend,
-                               self.conv_variant)
+                               self.conv_variant, self.dropout_backend)
         self.main_decoder = dec_cls(self.num_classes, self.features,
                                     self.bilinear, self.dtype,
                                     self.nchw_levels, self.conv_backend,
-                                    self.conv_variant)
+                                    self.conv_variant, self.head_variant)
         self.aux_decoders = [
             dec_cls(self.num_classes, self.features, self.bilinear,
                     self.dtype, self.nchw_levels, self.conv_backend,
-                    self.conv_variant, name=f"aux_decoder{i + 1}")
+                    self.conv_variant, self.head_variant,
+                    name=f"aux_decoder{i + 1}")
             for i in range(len(self.perturbations))
         ]
 
@@ -735,7 +767,7 @@ def stacked_decoder_apply(model: "MultiDecoderUNet", params, batch_stats,
                       *[batch_stats[n] for n in names])
     dec = Decoder(model.num_classes, model.features, model.bilinear,
                   model.dtype, model.nchw_levels, model.conv_backend,
-                  model.conv_variant)
+                  model.conv_variant, model.head_variant)
 
     def one(pp, bb, feats):
         out, mut = dec.apply({"params": pp, "batch_stats": bb}, feats,

@@ -358,6 +358,13 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="K>1 runs K steps per dispatch via lax.scan "
                         "(identical updates, amortized dispatch)")
+    p.add_argument("--head_variant", default=None,
+                   choices=["taps", "im2col", "dhdw", "xla"],
+                   help="out_conv logits-head kernel (PERF.md A/B knob)")
+    p.add_argument("--dropout_backend", default=None,
+                   choices=["xla", "pallas"],
+                   help="ConvBlock dropout: flax nn.Dropout or the "
+                        "pallas fused_dropout kernel")
     args, _ = p.parse_known_args(argv)
 
     if args.preset == "synthetic":
@@ -381,6 +388,8 @@ def parse_args(argv=None) -> Config:
         model=rep(cfg.model, name=args.model, n_aux=args.n_aux,
                   compute_dtype=args.dtype,
                   stack_decoders=args.stack_decoders or None,
+                  head_variant=args.head_variant,
+                  dropout_backend=args.dropout_backend,
                   remat=args.remat or None),
         method=rep(cfg.method, name=args.method,
                    consistency1=args.consistency1,

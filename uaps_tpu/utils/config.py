@@ -68,6 +68,15 @@ class ModelConfig:
     # env UAPS_CONV_VARIANT overrides at config construction time only
     conv_variant: str = dataclasses.field(
         default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT", "taps"))
+    # out_conv (16->num_classes logits head) kernel, independent of
+    # conv_variant: taps|im2col|dhdw pallas variants, or "xla"
+    # (to_nhwc + XLA NHWC conv) — the head's Cout=4 starves the MXU M
+    # dim, so the best variant can differ from the 3x3 body convs
+    head_variant: str = "taps"
+    # ConvBlock dropout: "xla" (flax nn.Dropout: threefry mask + select)
+    # | "pallas" (pallas/perturb.py fused_dropout: on-core PRNG,
+    # mask-regenerating VJP — no stored mask residual)
+    dropout_backend: str = "xla"
 
 
 @dataclasses.dataclass

@@ -32,6 +32,15 @@ def measure(variant: str) -> float:
     flag_kv = dict(f.split("=", 1) for f in flags.split(",")
                    if "=" in f)
     import uaps_tpu.models.unet as unet_mod
+    import uaps_tpu.pallas.conv3x3_nchw as cmod
+    if not hasattr(cmod, "_orig_pick_slab"):
+        cmod._orig_pick_slab = cmod._pick_slab
+    if "slab" in flag_kv:
+        s = int(flag_kv["slab"])
+        cmod._pick_slab = (
+            lambda h, _s=s: _s if h % _s == 0 else cmod._orig_pick_slab(h))
+    else:
+        cmod._pick_slab = cmod._orig_pick_slab
     if "xlapool" in flags:
         # force the XLA reduce_window path regardless of shape gate
         unet_mod.max_pool_2x2 = \
@@ -44,7 +53,9 @@ def measure(variant: str) -> float:
     cfg.model = dataclasses.replace(
         cfg.model, compute_dtype="bfloat16", conv_backend=backend,
         head_variant=flag_kv.get("head", "taps"),
-        dropout_backend=flag_kv.get("drop", "xla"))
+        dropout_backend=flag_kv.get("drop", "auto"))
+    cfg.method = dataclasses.replace(
+        cfg.method, fused_uncertainty=flag_kv.get("unc", "1") != "0")
     method = get_method("uaps")
     state, model = method.init_state(cfg, jax.random.key(0))
     tx = mbase.make_optimizer(cfg.optim)

@@ -386,3 +386,68 @@ class TestConvStats:
                                    rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFusedUncertainty:
+    """fused_uncertainty vs (a) its jnp oracle and (b) the actual unfused
+    UAPS pipeline (softmax/mean/kl_divergence_map/mix-argmax), value AND
+    gradient."""
+
+    def _unfused(self, logits, w):
+        from uaps_tpu.ops.losses import kl_divergence_map
+        softs = [jax.nn.softmax(logits[d], axis=-1)
+                 for d in range(logits.shape[0])]
+        preds = sum(softs) / logits.shape[0]
+        var = jnp.stack([kl_divergence_map(logits[d], preds)
+                         for d in range(logits.shape[0])])
+        mixed = sum(wi * jax.lax.stop_gradient(s) for wi, s in zip(w, softs))
+        return var, jnp.argmax(mixed, axis=-1).astype(jnp.int32)
+
+    def test_forward_matches_unfused(self, rng):
+        from uaps_tpu.pallas.uncertainty import fused_uncertainty
+        logits = jnp.asarray(
+            rng.standard_normal((4, 2, 16, 128, 4)).astype(np.float32) * 3)
+        w = jnp.asarray(np.asarray([0.4, 0.3, 0.2, 0.1], np.float32))
+        var_ref, ps_ref = self._unfused(logits, w)
+        var, ps = fused_uncertainty(logits, w, force_pallas=True)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ps), np.asarray(ps_ref))
+
+    def test_gradient_matches_unfused(self, rng):
+        """The UAPS use: l_uncert = mean(var), gates = mean(exp(-var_d)).
+        Gradients must agree with jax-autodiff through the unfused path
+        (preds NOT detached — both paths keep the mean-pred gradient)."""
+        from uaps_tpu.pallas.uncertainty import fused_uncertainty
+        logits = jnp.asarray(
+            rng.standard_normal((3, 1, 8, 128, 4)).astype(np.float32) * 2)
+        w = jnp.asarray(np.asarray([0.5, 0.3, 0.2], np.float32))
+
+        def loss_fused(lg):
+            var, _ = fused_uncertainty(lg, w, force_pallas=True)
+            gates = jnp.mean(jnp.exp(-var), axis=(1, 2, 3))
+            return jnp.mean(var) + jnp.sum(gates * jnp.arange(3.0))
+
+        def loss_unfused(lg):
+            var, _ = self._unfused(lg, w)
+            gates = jnp.mean(jnp.exp(-var), axis=(1, 2, 3))
+            return jnp.mean(var) + jnp.sum(gates * jnp.arange(3.0))
+
+        v1, g1 = jax.value_and_grad(loss_fused)(logits)
+        v2, g2 = jax.value_and_grad(loss_unfused)(logits)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=2e-6, rtol=1e-4)
+
+    def test_cpu_fallback_path(self, rng):
+        """Without force_pallas on CPU the oracle runs — same API/shapes,
+        grads flow."""
+        from uaps_tpu.pallas.uncertainty import fused_uncertainty
+        logits = jnp.asarray(
+            rng.standard_normal((2, 1, 8, 16, 4)).astype(np.float32))
+        w = jnp.asarray(np.asarray([0.5, 0.5], np.float32))
+        var, ps = fused_uncertainty(logits, w)
+        assert var.shape == (2, 1, 8, 16) and ps.shape == (1, 8, 16)
+        g = jax.grad(lambda lg: jnp.mean(
+            fused_uncertainty(lg, w)[0]))(logits)
+        assert bool(jnp.isfinite(g).all())

@@ -100,28 +100,42 @@ def make_train_step(cfg, model, tx, axis_name=None):
             dices = [p[1] for p in pairs]
             sup = sum(0.5 * (c + d) for c, d in zip(ces, dices)) / n_dec
 
-            # uncertainty maps vs the average softmax
-            softmaxes = [jax.nn.softmax(o, axis=-1) for o in un_outs]
-            preds = sum(softmaxes) / n_dec
-            variances = [kl_divergence_map(o, preds) for o in un_outs]
-            ave_var = sum(variances) / n_dec
-            l_uncert = jnp.mean(ave_var)
-
-            # pseudo-label: Dirichlet-mixed (or averaged) stopgrad softmaxes
+            # Dirichlet (or averaged) pseudo-label mix weights — ONE
+            # global draw per step (reference :251)
             if mcfg.dynamic_mixing:
                 w = jax.random.dirichlet(mix_key, jnp.ones((n_dec,)))
             else:
                 w = jnp.full((n_dec,), 1.0 / n_dec)
-            if cfg.model.conv_backend != "xla" and \
-                    jax.devices()[0].platform == "tpu":
-                # fused softmax-mix-argmax kernel (one VMEM pass over the
-                # D logit tensors; pallas/pseudo_label.py)
-                from uaps_tpu.pallas import fused_pseudo_label
-                pseudo = fused_pseudo_label(jnp.stack(un_outs), w)
+
+            on_tpu_pallas = (cfg.model.conv_backend != "xla"
+                             and jax.devices()[0].platform == "tpu")
+            if (on_tpu_pallas and mcfg.fused_uncertainty
+                    and mcfg.decoder_consistency_weight == 0):
+                # uncertainty maps + pseudo-label in ONE kernel pass over
+                # the stacked logits (pallas/uncertainty.py): softmaxes,
+                # mean pred, KL maps and the mixed argmax never
+                # materialize as C-padded HBM tensors
+                from uaps_tpu.pallas import fused_uncertainty
+                var_stack, pseudo = fused_uncertainty(
+                    jnp.stack(un_outs), w)
+                variances = [var_stack[d] for d in range(n_dec)]
+                l_uncert = jnp.mean(var_stack)
             else:
-                mixed = sum(wi * jax.lax.stop_gradient(s)
-                            for wi, s in zip(w, softmaxes))
-                pseudo = jnp.argmax(mixed, axis=-1)
+                # uncertainty maps vs the average softmax
+                softmaxes = [jax.nn.softmax(o, axis=-1) for o in un_outs]
+                preds = sum(softmaxes) / n_dec
+                variances = [kl_divergence_map(o, preds) for o in un_outs]
+                ave_var = sum(variances) / n_dec
+                l_uncert = jnp.mean(ave_var)
+                if on_tpu_pallas:
+                    # fused softmax-mix-argmax kernel (one VMEM pass over
+                    # the D logit tensors; pallas/pseudo_label.py)
+                    from uaps_tpu.pallas import fused_pseudo_label
+                    pseudo = fused_pseudo_label(jnp.stack(un_outs), w)
+                else:
+                    mixed = sum(wi * jax.lax.stop_gradient(s)
+                                for wi, s in zip(w, softmaxes))
+                    pseudo = jnp.argmax(mixed, axis=-1)
 
             ps_terms = []
             for o, var in zip(un_outs, variances):

@@ -13,5 +13,6 @@ numerical oracle in tests) selected automatically by platform.
 """
 from uaps_tpu.pallas.pseudo_label import fused_pseudo_label
 from uaps_tpu.pallas.perturb import fused_dropout
+from uaps_tpu.pallas.uncertainty import fused_uncertainty
 
-__all__ = ["fused_pseudo_label", "fused_dropout"]
+__all__ = ["fused_pseudo_label", "fused_dropout", "fused_uncertainty"]

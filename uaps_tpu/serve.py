@@ -5,8 +5,9 @@ The reference's only serving story is per-image notebook loops
 compiled fixed-shape predictor with automatic micro-batching/padding,
 optional TTA (BaseNet multi-scale flip harness, or flip-averaging for
 U-Net models), uncertainty maps, and a CLI that sweeps a directory of
-images into masks. (It is a synchronous batch engine — an async
-request-queue server is not included.)
+images into masks. For concurrent request traffic, `uaps_tpu.server`
+wraps this engine in an async dynamic-batching dispatcher + HTTP
+endpoint.
 
     python -m uaps_tpu.serve --preset neu --method uaps \
         --out_dir runs/neu --images /data/imgs --out /tmp/masks

@@ -362,7 +362,7 @@ def parse_args(argv=None) -> Config:
                    choices=["taps", "im2col", "dhdw", "xla"],
                    help="out_conv logits-head kernel (PERF.md A/B knob)")
     p.add_argument("--dropout_backend", default=None,
-                   choices=["xla", "pallas"],
+                   choices=["auto", "xla", "pallas"],
                    help="ConvBlock dropout: flax nn.Dropout or the "
                         "pallas fused_dropout kernel")
     args, _ = p.parse_known_args(argv)

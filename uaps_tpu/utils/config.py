@@ -70,13 +70,14 @@ class ModelConfig:
         default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT", "taps"))
     # out_conv (16->num_classes logits head) kernel, independent of
     # conv_variant: taps|im2col|dhdw pallas variants, or "xla"
-    # (to_nhwc + XLA NHWC conv) — the head's Cout=4 starves the MXU M
-    # dim, so the best variant can differ from the 3x3 body convs
+    # (to_nhwc + XLA NHWC conv). A/B (PERF.md r2): taps 98.7, im2col
+    # 98.8, xla 112.7 ms/step — taps stays the default
     head_variant: str = "taps"
-    # ConvBlock dropout: "xla" (flax nn.Dropout: threefry mask + select)
-    # | "pallas" (pallas/perturb.py fused_dropout: on-core PRNG,
-    # mask-regenerating VJP — no stored mask residual)
-    dropout_backend: str = "xla"
+    # ConvBlock dropout: "auto" (fused pallas kernel on TPU — measured
+    # 98.7 -> 94.6 ms/step — nn.Dropout elsewhere) | "xla" (nn.Dropout:
+    # threefry mask + select) | "pallas" (force the fused kernel: on-core
+    # PRNG, mask-regenerating VJP — no stored mask residual)
+    dropout_backend: str = "auto"
 
 
 @dataclasses.dataclass
@@ -102,6 +103,11 @@ class MethodConfig:
     # deviation from the reference's two sequential forwards; off by
     # default for parity).
     fused_batch: bool = False
+    # fused uncertainty+pseudo-label pallas kernel (pallas/uncertainty.py)
+    # on TPU; False falls back to the unfused softmax/KL pipeline (+ the
+    # round-1 pseudo-label kernel). A/B knob — numerics pinned equal by
+    # tests/test_pallas.py::TestFusedUncertainty.
+    fused_uncertainty: bool = True
 
 
 @dataclasses.dataclass

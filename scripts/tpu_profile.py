@@ -63,6 +63,21 @@ def parse_trace(out_dir: str, steps: int):
     for r, us in roots.most_common(25):
         print(f"  {us / 1000 / steps:7.2f} ms  {counts[r] // steps:5d}"
               f"/step  {r}")
+    # un-bucketed: the heaviest INDIVIDUAL ops (full names), to catch a
+    # single chunky fusion hiding inside a bucket
+    indiv = collections.Counter()
+    icnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") != dev_pid:
+            continue
+        if tids.get((dev_pid, e.get("tid"))) != "XLA Ops":
+            continue
+        indiv[e["name"]] += e["dur"]
+        icnt[e["name"]] += 1
+    print("top individual ops:")
+    for name, us in indiv.most_common(20):
+        print(f"  {us / 1000 / steps:7.3f} ms  {icnt[name] // steps:4d}"
+              f"/step  {name[:100]}")
 
 
 def main():

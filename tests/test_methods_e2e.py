@@ -435,3 +435,51 @@ class TestMultiStepDispatch:
                         jax.tree.leaves(s_scan.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3 * lr, rtol=0)
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience_and_persists_counter(self, tmp_path):
+        """run.early_stop_patience=2 with a validate() that never improves
+        after epoch 1 must stop at epoch 3 (1 best + 2 stale), not run all
+        10 epochs; the counter round-trips through the checkpoint."""
+        import dataclasses
+        from uaps_tpu.train import Trainer
+        cfg = tiny_cfg("baseline")
+        cfg.run = dataclasses.replace(
+            cfg.run, epochs=10, iter_per_epoch=2, out_dir=str(tmp_path),
+            early_stop_patience=2)
+        t = Trainer(cfg)
+        calls = []
+
+        def fake_validate():
+            calls.append(1)
+            # epoch 1 improves (0.5), everything after is worse
+            d = 0.5 if len(calls) == 1 else 0.4
+            return {"val_mdice": d, "val_miou": d, "val_acc": d}
+
+        t.validate = fake_validate
+        t.run()
+        assert len(calls) == 3          # stopped, didn't run 10 epochs
+        assert t.epochs_since_best == 2
+        # counter persisted with the best checkpoint (epoch 1 -> 0)
+        t2 = Trainer(cfg)
+        t2.maybe_resume()
+        assert t2.epochs_since_best == 0
+        assert t2.best_dice == pytest.approx(0.5)
+
+    def test_disabled_by_default(self, tmp_path):
+        import dataclasses
+        from uaps_tpu.train import Trainer
+        cfg = tiny_cfg("baseline")
+        cfg.run = dataclasses.replace(
+            cfg.run, epochs=4, iter_per_epoch=2, out_dir=str(tmp_path))
+        t = Trainer(cfg)
+        calls = []
+
+        def fake_validate():
+            calls.append(1)
+            return {"val_mdice": 0.1, "val_miou": 0.1, "val_acc": 0.1}
+
+        t.validate = fake_validate
+        t.run()
+        assert len(calls) == 4          # patience 0 -> all epochs run

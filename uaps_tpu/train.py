@@ -137,6 +137,7 @@ class Trainer:
             os.path.join(cfg.run.out_dir, "checkpoints"),
             keep=cfg.run.keep_checkpoints)
         self.best_dice = -1.0
+        self.epochs_since_best = 0
 
         # replicate state over the mesh; batches arrive sharded on 'data'
         self.state = replicate_state(self.state, self.mesh)
@@ -151,6 +152,7 @@ class Trainer:
         self.state = replicate_state(restored, self.mesh)
         host = host or {}
         self.best_dice = host.get("best_dice", -1.0)
+        self.epochs_since_best = host.get("epochs_since_best", 0)
         self.scheduler.best = host.get("sched_best", -float("inf"))
         self.scheduler.bad_epochs = host.get("sched_bad", 0)
         if self.scheduler2 is not None:
@@ -287,13 +289,19 @@ class Trainer:
             # covers both, gated on whichever improved)
             gate_dice = max(val["val_mdice"],
                             val.get("val2_mdice", float("-inf")))
-            if gate_dice > self.best_dice:
+            improved = gate_dice > self.best_dice
+            if improved:
                 self.best_dice = gate_dice
+                self.epochs_since_best = 0
+            else:
+                self.epochs_since_best += 1
+            if improved:
                 self.ckpt.save(
                     int(jax.device_get(self.state.step)),
                     jax.device_get(self.state),
                     host_state={
                         "epoch": epoch, "best_dice": self.best_dice,
+                        "epochs_since_best": self.epochs_since_best,
                         "config_method": cfg.method.name,
                         **self._sched_host(),
                     },
@@ -304,8 +312,16 @@ class Trainer:
                     int(jax.device_get(self.state.step)),
                     jax.device_get(self.state),
                     host_state={"epoch": epoch, "best_dice": self.best_dice,
+                                "epochs_since_best": self.epochs_since_best,
                                 **self._sched_host()},
                     metrics=val)
+            if (cfg.run.early_stop_patience
+                    and self.epochs_since_best >= cfg.run.early_stop_patience):
+                self.logger.info(
+                    f"early stop: no val mDice improvement in "
+                    f"{self.epochs_since_best} epochs "
+                    f"(best {self.best_dice:.4f})")
+                break
         self.ckpt.wait()
         self.writer.close()
         return self.best_dice
@@ -361,6 +377,10 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--head_variant", default=None,
                    choices=["taps", "im2col", "dhdw", "xla"],
                    help="out_conv logits-head kernel (PERF.md A/B knob)")
+    p.add_argument("--early_stop_patience", type=int, default=None,
+                   help="stop after N epochs without a new best val "
+                        "mDice (0/default: run all epochs like the "
+                        "reference)")
     p.add_argument("--dropout_backend", default=None,
                    choices=["auto", "xla", "pallas"],
                    help="ConvBlock dropout: flax nn.Dropout or the "
@@ -404,6 +424,7 @@ def parse_args(argv=None) -> Config:
                 use_shard_map=(True if args.shard_map
                                else (False if args.gspmd else None)),
                 steps_per_dispatch=args.steps_per_dispatch,
+                early_stop_patience=args.early_stop_patience,
                 debug_nans=args.debug_nans or None),
     )
     return cfg, args

@@ -145,6 +145,9 @@ class RunConfig:
     # multi-chip path; GSPMD remains the opt-out for sync-BN semantics).
     use_shard_map: Optional[bool] = None
     halt_on_nan: bool = True  # failure detection: stop on non-finite loss
+    # stop after N epochs without a new best val mDice (0 = run all
+    # epochs, matching the reference, which never early-stops)
+    early_stop_patience: int = 0
     debug_nans: bool = False
     profile_steps: Optional[Tuple[int, int]] = None  # (start, stop)
     # K > 1 runs K train steps per dispatch via lax.scan over stacked

@@ -131,8 +131,19 @@ def ingest(dataset: str, source: str, root: str, copy: bool = False):
     train_pairs = [p for p in pairs if not is_test(p)] or pairs
     test_pairs = [p for p in pairs if is_test(p)]
     plan = [("images", "annotations", train_pairs)]
-    if info["has_test_dir"] and test_pairs:
-        plan.append(("test_images", "test_annotations", test_pairs))
+    if test_pairs and train_pairs is not pairs:
+        if info["has_test_dir"]:
+            plan.append(("test_images", "test_annotations", test_pairs))
+        else:
+            # dataset spec has no held-out dir (split happens in the
+            # pipeline) but the raw layout ships Train/Test halves —
+            # keep the data: fold the test pairs into the train set
+            # rather than silently dropping half the download
+            print(f"note: {dataset} uses an in-pipeline split; folding "
+                  f"{sum(len(s) for *_, s in test_pairs)} 'test' pairs "
+                  f"into images/ (no held-out dir in the spec)")
+            train_pairs = train_pairs + test_pairs
+            plan = [("images", "annotations", train_pairs)]
 
     def ext_of(d, stem):
         for fn in found[d]:

@@ -287,8 +287,14 @@ class ConvBlock(nn.Module):
         x = conv_bn(x, "Conv_0", "BatchNorm_0")
         x = nn.leaky_relu(x)  # negative_slope 0.01 == torch default
         if self.dropout_rate > 0:
+            # auto additionally requires conv_backend != "xla": the
+            # trainer forces conv_backend="xla" in GSPMD multi-device
+            # mode precisely to keep pallas_call out of the jitted step
+            # (pallas_call runs replicated under GSPMD), and the dropout
+            # kernel must follow the same routing
             use_pallas_drop = self.dropout_backend == "pallas" or (
                 self.dropout_backend == "auto"
+                and self.conv_backend != "xla"
                 and jax.devices()[0].platform == "tpu")
             if use_pallas_drop:
                 # fused on-core-PRNG dropout (pallas/perturb.py): the

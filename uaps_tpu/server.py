@@ -37,9 +37,10 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -57,9 +58,11 @@ class AsyncBatcher:
             queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
-        self._lat: List[float] = []      # per-request seconds
-        self._occ: List[int] = []        # per-dispatch batch occupancy
+        # bounded: a long-lived server must not grow its stats forever
+        self._lat: "deque[float]" = deque(maxlen=10000)  # per-request s
+        self._occ: "deque[int]" = deque(maxlen=10000)    # batch occupancy
         self._n_done = 0
+        self._shape: Optional[tuple] = None   # pinned by first submit
         self._t_start = time.perf_counter()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="uaps-batcher")
@@ -67,9 +70,21 @@ class AsyncBatcher:
 
     # ------------------------------------------------------------- client
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one [H,W,C] image; Future resolves to (mask, probs)."""
+        """Enqueue one [H,W,C] image; Future resolves to (mask, probs).
+
+        All images of one batcher must share a shape (the engine is
+        fixed-shape compiled); a mismatched request is rejected HERE so
+        it can never poison the batch it would have been coalesced into.
+        """
         if self._stop.is_set():
             raise RuntimeError("batcher is shut down")
+        image = np.asarray(image)
+        if self._shape is None:
+            self._shape = image.shape
+        elif image.shape != self._shape:
+            raise ValueError(
+                f"image shape {image.shape} != batcher shape "
+                f"{self._shape}; one compiled shape per batcher")
         fut: Future = Future()
         self._q.put((image, fut, time.perf_counter()))
         return fut
@@ -94,8 +109,8 @@ class AsyncBatcher:
 
     def stats(self) -> dict:
         with self._lock:
-            lat = np.asarray(self._lat[-10000:], np.float64)
-            occ = np.asarray(self._occ[-10000:], np.float64)
+            lat = np.asarray(self._lat, np.float64)
+            occ = np.asarray(self._occ, np.float64)
             n, dt = self._n_done, time.perf_counter() - self._t_start
         out = {"requests": int(n),
                "throughput_rps": n / dt if dt > 0 else 0.0,
@@ -132,8 +147,11 @@ class AsyncBatcher:
             batch = self._drain()
             if not batch:
                 continue
-            images = np.stack([b[0] for b in batch])
             try:
+                # stack INSIDE the try: any failure must resolve the
+                # batch's futures and leave the dispatcher alive, never
+                # kill the thread and strand every later request
+                images = np.stack([b[0] for b in batch])
                 masks, probs = self.engine.predict(images)
             except Exception as exc:  # surface to every waiting caller
                 for _, fut, _ in batch:

@@ -127,7 +127,15 @@ class Trainer:
             def multi(state, batches):
                 return jax.lax.scan(step_fn, state, batches)
             self.train_step_scan = jax.jit(multi, donate_argnums=0)
-        self.eval_step = method_base.make_eval_step(cfg, self.model)
+        # eval runs as a plain GSPMD jit over the sharded batch even in
+        # shard_map training mode — route its convs to XLA on >1 device
+        # (pallas_call runs replicated under GSPMD; same invariant as the
+        # GSPMD train path above)
+        eval_model = self.model
+        if (self.mesh.devices.size > 1
+                and getattr(self.model, "conv_backend", "xla") != "xla"):
+            eval_model = self.model.clone(conv_backend="xla")
+        self.eval_step = method_base.make_eval_step(cfg, eval_model)
         self.scheduler = method_base.PlateauScheduler(cfg.optim)
         # CPS runs two optimizers with their own plateau schedulers
         # (reference CPS_train.py:115-119)

@@ -181,9 +181,12 @@ def _discover_roots(data: DataConfig) -> DataConfig:
         return data
     kw = dict(image_root=img, mask_root=os.path.join(base, "annotations"))
     t = os.path.join(base, "test_images")
-    if os.path.isdir(t):
-        kw.update(test_image_root=t,
-                  test_mask_root=os.path.join(base, "test_annotations"))
+    ta = os.path.join(base, "test_annotations")
+    # require BOTH halves: a test_images dir without annotations (e.g. an
+    # unlabeled dump) must not configure a mask root that explodes later
+    # deep inside the eval pipeline
+    if os.path.isdir(t) and os.path.isdir(ta):
+        kw.update(test_image_root=t, test_mask_root=ta)
     return dataclasses.replace(data, **kw)
 
 

@@ -124,9 +124,12 @@ def ingest(dataset: str, source: str, root: str, copy: bool = False):
         sys.exit(f"ERROR: no image/mask directory pairs found under "
                  f"{source}. Expected directories of images plus a "
                  f"mask/annotation directory with matching file stems.")
-    # classify train vs test pairs by path hint
+    # classify train vs test pairs by path hint — RELATIVE to the source
+    # root, so a 'test' in the download's parent path (e.g. /tmp/pytest-
+    # .../test_x/raw) cannot reclassify the whole dataset
     def is_test(p):
-        return "test" in p[0].lower() or "test" in p[1].lower()
+        return any("test" in os.path.relpath(d, source).lower()
+                   for d in p[:2])
 
     train_pairs = [p for p in pairs if not is_test(p)] or pairs
     test_pairs = [p for p in pairs if is_test(p)]

@@ -151,7 +151,9 @@ def split_ids(spec: DatasetSpec, train_ids: List[str],
         x_train, x_untrain = train_test_split(
             xx_train, test_size=1.0 - labeled_fraction,
             random_state=seed_labeled)
-        x_test = np.asarray(test_ids)
+        # no dedicated test dir provisioned -> golden eval reuses the
+        # val split (prepare_data.validate warns about this)
+        x_test = np.asarray(test_ids) if test_ids is not None else x_val
     elif spec.split_protocol == "dagm":
         xxt_train, x_test = train_test_split(
             ids, test_size=0.20, random_state=seed_val)

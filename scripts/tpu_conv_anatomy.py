@@ -66,6 +66,26 @@ def _kernel(x_ref, w_ref, o_ref, *, slab, mode):
                     preferred_element_type=jnp.float32)
         o_ref[0] = acc.reshape(C, slab, W).astype(o_ref.dtype)
         return
+    if mode == "dwout":
+        # one slice per dh (sublane-offset only, dw fixed at center);
+        # dw=0/2 contributions land via masked lane-rolls of f32 partial
+        # accumulators — 3 relayouts instead of 9
+        accs = [jnp.zeros((C, slab * W), jnp.float32) for _ in range(3)]
+        for dh in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab, 1:1 + W]
+            xr = xs.reshape(C, slab * W)
+            for dw in range(3):
+                accs[dw] = accs[dw] + jax.lax.dot_general(
+                    w_ref[dh * 3 + dw], xr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        n = jax.lax.broadcasted_iota(jnp.int32, (C, slab * W), 1)
+        # y[w] += A_dw[w + dw - 1]: A_0 rolls right (+1), A_2 left (-1);
+        # the wrapped column is exactly the padded-edge contribution -> 0
+        left = jnp.where(n % W != 0, pltpu.roll(accs[0], 1, 1), 0.0)
+        right = jnp.where(n % W != W - 1, pltpu.roll(accs[2], -1, 1), 0.0)
+        acc = accs[1] + left + right
+        o_ref[0] = acc.reshape(C, slab, W).astype(o_ref.dtype)
+        return
     # taps (production)
     for dh in range(3):
         for dw in range(3):
@@ -74,13 +94,26 @@ def _kernel(x_ref, w_ref, o_ref, *, slab, mode):
                 w_ref[dh * 3 + dw], xs.reshape(C, slab * W),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+    if mode == "flatout":
+        o_ref[0] = acc.astype(o_ref.dtype)   # flat [C, slab*W] block
+        return
     o_ref[0] = acc.reshape(C, slab, W).astype(o_ref.dtype)
 
 
 def conv_variant(x, w9, mode, slab=32):
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
     kern = functools.partial(_kernel, slab=slab, mode=mode)
-    return pl.pallas_call(
+    if mode == "flatout":
+        out_specs = pl.BlockSpec((1, C, slab * W),
+                                 lambda bi, si: (bi, 0, si),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, C, H * W), x.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, C, slab, W),
+                                 lambda bi, si: (bi, 0, si, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, C, H, W), x.dtype)
+    y = pl.pallas_call(
         kern,
         grid=(B, H // slab),
         in_specs=[
@@ -90,12 +123,11 @@ def conv_variant(x, w9, mode, slab=32):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, slab, W),
-                               lambda bi, si: (bi, 0, si, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=False,
     )(xp, w9)
+    return y.reshape(B, C, H, W)  # bitcast for flatout, no-op otherwise
 
 
 def time_chain(mode, slab, n):
@@ -118,8 +150,11 @@ def time_chain(mode, slab, n):
 
 if __name__ == "__main__":
     assert jax.devices()[0].platform == "tpu"
-    for mode, slab in [("taps", 32), ("noshift", 32), ("shift3", 32),
-                       ("matmul1", 32), ("dmaonly", 32), ("taps", 64)]:
+    modes = [("taps", 32), ("noshift", 32), ("shift3", 32),
+             ("matmul1", 32), ("dmaonly", 32), ("taps", 64)]
+    if len(sys.argv) > 1:  # e.g. "flatout,dwout" to run only those
+        modes = [(m, 32) for m in sys.argv[1].split(",")]
+    for mode, slab in modes:
         t8 = time_chain(mode, slab, 8)
         t24 = time_chain(mode, slab, 24)
         per = (t24 - t8) / 16 * 1000

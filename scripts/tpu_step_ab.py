@@ -53,6 +53,7 @@ def measure(variant: str) -> float:
     cfg.model = dataclasses.replace(
         cfg.model, compute_dtype="bfloat16", conv_backend=backend,
         head_variant=flag_kv.get("head", "taps"),
+        conv_variant=flag_kv.get("var", "taps"),
         dropout_backend=flag_kv.get("drop", "auto"))
     cfg.method = dataclasses.replace(
         cfg.method, fused_uncertainty=flag_kv.get("unc", "1") != "0")

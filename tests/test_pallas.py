@@ -266,13 +266,39 @@ class TestConv3x3Kernels:
         g = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
         ref_f = np.asarray(conv3x3_nchw(x, w, True, "taps"))
         ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
-        for variant in ("im2col", "dhdw"):
+        for variant in ("im2col", "dhdw", "flat", "dwout"):
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw(x, w, True, variant)), ref_f,
                 rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw_wgrad(x, g, True, variant)), ref_w,
                 rtol=1e-4, atol=1e-4)
+
+    def test_dwout_gradients_match_taps(self, rng):
+        """dwout folds dw shifts into masked f32 lane-rolls (+flat
+        output): the full custom-VJP chain must agree with taps."""
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+
+        def loss(variant):
+            return jax.value_and_grad(
+                lambda xx, ww: jnp.sum(
+                    conv3x3_fast_nchw(xx, ww, True, variant) ** 2),
+                (0, 1))(x, w)
+
+        (v_t, g_t) = loss("taps")
+        for variant in ("dwout", "flat"):
+            v_v, g_v = loss(variant)
+            np.testing.assert_allclose(float(v_v), float(v_t), rtol=1e-6)
+            # different accumulation order -> f32 summation noise
+            np.testing.assert_allclose(np.asarray(g_v[0]),
+                                       np.asarray(g_t[0]),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(g_v[1]),
+                                       np.asarray(g_t[1]),
+                                       rtol=1e-4, atol=1e-4)
 
     def test_gated_backward_large_cin(self, rng):
         """cin > 32 routes dgrad/wgrad to XLA (measured faster on v5e);

@@ -53,6 +53,50 @@ def _fwd_kernel(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
 
 
+def _fwd_kernel_dwout(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, C, slab+8, W+2], w_ref [9, Cin, Cout],
+    o_ref [1, Co, slab*W] (FLAT output block).
+
+    r2 anatomy (scripts/tpu_conv_anatomy.py): of taps' 0.42 ms/call,
+    ~0.12 is the nine shifted-slice relayouts and the rest DMA+matmuls.
+    This kernel slices only per dh (THREE center slices), accumulates
+    per-dw partials, and applies the dw=0/2 column offsets as two masked
+    f32 lane-rolls of the partials: y[j] += A_dw[j + dw - 1], where the
+    roll wrap crosses a row boundary exactly at the zero-masked padded
+    columns. Output stays flat [Co, slab*W] — the [B,Co,H,W] view of the
+    [B,Co,H*W] result is a bitcast, so the acc->3D write relayout also
+    disappears."""
+    x = x_ref[0]
+    accs = [jnp.zeros((cout, slab * width), jnp.float32) for _ in range(3)]
+    for dh in range(3):
+        xs = x[:, _HOFF + dh:_HOFF + dh + slab, 1:1 + width]
+        xr = xs.reshape(cin, slab * width)
+        for dw in range(3):
+            accs[dw] = accs[dw] + jax.lax.dot_general(
+                w_ref[dh * 3 + dw], xr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    n = jax.lax.broadcasted_iota(jnp.int32, (cout, slab * width), 1)
+    a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
+    a2 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(accs[2], slab * width - 1, 1))  # roll by -1
+    o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
+
+
+def _fwd_kernel_flat(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """taps body with the FLAT [Co, slab*W] output block (no acc->3D
+    write relayout); ablation point between taps and dwout."""
+    x = x_ref[0]
+    acc = jnp.zeros((cout, slab * width), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab, dw:dw + width]
+            acc = acc + jax.lax.dot_general(
+                w_ref[dh * 3 + dw], xs.reshape(cin, slab * width),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def _im2col(x, *, slab, width, cin):
     """[C, slab+8, W+2] halo block -> [9*Cin, slab*W] patch matrix.
 
@@ -146,9 +190,23 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
                                    width=width, cin=cin, cout=cout)
     else:
         wp = w.reshape(9, cin, cout).astype(x.dtype)
-        kernel = functools.partial(_fwd_kernel, slab=slab, width=width,
+        body = {"dwout": _fwd_kernel_dwout,
+                "flat": _fwd_kernel_flat}.get(variant, _fwd_kernel)
+        kernel = functools.partial(body, slab=slab, width=width,
                                    cin=cin, cout=cout)
-    return pl.pallas_call(
+    if variant in ("dwout", "flat"):
+        # flat output block: [B, Co, H*W] viewed as [B, Co, H, W] at the
+        # end is a bitcast — kills the in-kernel acc->3D write relayout
+        out_specs = pl.BlockSpec((1, cout, slab * width),
+                                 lambda bi, si: (bi, 0, si),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, cout, h * width), out_dtype)
+    else:
+        out_specs = pl.BlockSpec((1, cout, slab, width),
+                                 lambda bi, si: (bi, 0, si, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, cout, h, width), out_dtype)
+    y = pl.pallas_call(
         kernel,
         grid=(b, h // slab),
         in_specs=[
@@ -158,12 +216,11 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, cout, slab, width),
-                               lambda bi, si: (bi, 0, si, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, cout, h, width), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xp, wp)
+    return y.reshape(b, cout, h, width)
 
 
 def _wgrad_kernel(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
@@ -240,11 +297,11 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
     slab = _pick_slab(h)
     xp = x if prepadded else jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
     kernel = functools.partial(
-        {"im2col": _wgrad_kernel_im2col, "dhdw": _wgrad_kernel_dhdw,
-         "taps": _wgrad_kernel}[variant],
+        {"im2col": _wgrad_kernel_im2col,
+         "dhdw": _wgrad_kernel_dhdw}.get(variant, _wgrad_kernel),
         slab=slab, width=width, cin=cin, cout=cout)
-    out_shape = {"im2col": (9 * cin, cout), "dhdw": (3 * cout, 3 * cin),
-                 "taps": (9, cin, cout)}[variant]
+    out_shape = {"im2col": (9 * cin, cout),
+                 "dhdw": (3 * cout, 3 * cin)}.get(variant, (9, cin, cout))
     flat = pl.pallas_call(
         kernel,
         grid=(b, h // slab),

@@ -78,6 +78,27 @@ class TestForwardShapes:
         assert out["bottleneck"].shape == (2, 2, 2, 256)
         assert out["f4"].shape == (2, 32, 32, 16)
 
+    def test_decoder_ds_outputs(self):
+        """Decoder_DS (CCT_unet.py:156-206): dp-heads-only decoder —
+        reference dead code, kept for inventory completeness. Must agree
+        with DeepSupervisionDecoder head-for-head (same param tree)."""
+        from uaps_tpu.models.unet import (DecoderDS,
+                                          DeepSupervisionDecoder, Encoder)
+        enc = Encoder(dtype=jnp.float32)
+        ev = enc.init({"params": jax.random.key(0),
+                       "dropout": jax.random.key(1)}, X, train=False)
+        feats = enc.apply(ev, X, train=False)
+        ds = DecoderDS(num_classes=4)
+        v = ds.init({"params": jax.random.key(2)}, feats, (32, 32))
+        outs = ds.apply(v, feats, (32, 32))
+        assert len(outs) == 4
+        full = DeepSupervisionDecoder(num_classes=4).apply(
+            v, feats, (32, 32))
+        for i, o in enumerate(outs):
+            assert o.shape == (2, 32, 32, 4)
+            np.testing.assert_array_equal(np.asarray(o),
+                                          np.asarray(full[f"dp{i}"]))
+
     def test_channel_class_configs(self):
         # DAGM: 1-channel 7-class; KoSDD2: rectangular 2-class
         m = net_factory("unet_uaps", in_chns=1, class_num=7)

@@ -266,7 +266,7 @@ class TestConv3x3Kernels:
         g = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
         ref_f = np.asarray(conv3x3_nchw(x, w, True, "taps"))
         ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
-        for variant in ("im2col", "dhdw", "flat", "dwout"):
+        for variant in ("im2col", "dhdw", "flat", "dwout", "dwnp"):
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw(x, w, True, variant)), ref_f,
                 rtol=1e-5, atol=1e-5)
@@ -289,7 +289,7 @@ class TestConv3x3Kernels:
                 (0, 1))(x, w)
 
         (v_t, g_t) = loss("taps")
-        for variant in ("dwout", "flat"):
+        for variant in ("dwout", "flat", "dwnp"):
             v_v, g_v = loss(variant)
             np.testing.assert_allclose(float(v_v), float(v_t), rtol=1e-6)
             # different accumulation order -> f32 summation noise

@@ -11,6 +11,7 @@ from uaps_tpu.models.unet import (
     Encoder,
     Decoder,
     DeepSupervisionDecoder,
+    DecoderDS,
     UNet,
     MultiDecoderUNet,
     DeepSupervisionUNet,
@@ -21,6 +22,7 @@ from uaps_tpu.models.factory import net_factory, MODEL_REGISTRY
 
 __all__ = [
     "ConvBlock", "Encoder", "Decoder", "DeepSupervisionDecoder",
+    "DecoderDS",
     "UNet", "MultiDecoderUNet", "DeepSupervisionUNet",
     "net_factory", "MODEL_REGISTRY", "UNET_FEATURES", "UNET_DROPOUT",
 ]

@@ -633,6 +633,20 @@ class DeepSupervisionDecoder(nn.Module):
         }
 
 
+class DecoderDS(DeepSupervisionDecoder):
+    """Decoder_DS (CCT/CCT_unet.py:156-206): Decoder_mcps minus the
+    feature taps — returns only the four multi-scale seg heads
+    (dp0, dp1, dp2, dp3). Dead code in the reference (no trainer
+    instantiates it); included for inventory completeness. The
+    reference also defines an `out_conv_dp4` head it never calls —
+    deliberately omitted here (documented deviation)."""
+
+    @nn.compact
+    def __call__(self, feats, out_hw, train: bool = False):
+        outs = super().__call__(feats, out_hw, train=train)
+        return outs["dp0"], outs["dp1"], outs["dp2"], outs["dp3"]
+
+
 def _maybe_remat(remat: bool):
     """(Encoder, Decoder) classes, rematerialized per-segment when asked.
 

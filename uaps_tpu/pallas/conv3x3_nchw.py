@@ -53,8 +53,9 @@ def _fwd_kernel(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     o_ref[0] = acc.reshape(cout, slab, width).astype(o_ref.dtype)
 
 
-def _fwd_kernel_dwout(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
-    """x_ref [1, C, slab+8, W+2], w_ref [9, Cin, Cout],
+def _fwd_kernel_dwout(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
+                      wpad=1):
+    """x_ref [1, C, slab+8, W+2*wpad], w_ref [9, Cin, Cout],
     o_ref [1, Co, slab*W] (FLAT output block).
 
     r2 anatomy (scripts/tpu_conv_anatomy.py): of taps' 0.42 ms/call,
@@ -65,11 +66,16 @@ def _fwd_kernel_dwout(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     roll wrap crosses a row boundary exactly at the zero-masked padded
     columns. Output stays flat [Co, slab*W] — the [B,Co,H,W] view of the
     [B,Co,H*W] result is a bitcast, so the acc->3D write relayout also
-    disappears."""
+    disappears.
+
+    With wpad=0 (the 'dwnp' variant) the input array carries NO W
+    padding at all: the dh slices are lane-ALIGNED full-width loads
+    (W=256 is exactly two 128-lane tiles vs the 258-lane padded rows),
+    so both the slice relayouts and the odd-width DMA disappear."""
     x = x_ref[0]
     accs = [jnp.zeros((cout, slab * width), jnp.float32) for _ in range(3)]
     for dh in range(3):
-        xs = x[:, _HOFF + dh:_HOFF + dh + slab, 1:1 + width]
+        xs = x[:, _HOFF + dh:_HOFF + dh + slab, wpad:wpad + width]
         xr = xs.reshape(cin, slab * width)
         for dw in range(3):
             accs[dw] = accs[dw] + jax.lax.dot_general(
@@ -171,13 +177,15 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
             x = x[:, :, 4:-4, 1:-1]
         y = conv3x3_nchw_fullh(x, w, interpret)
         return y if out_dtype in (None, y.dtype) else y.astype(out_dtype)
+    wpad = 0 if variant == "dwnp" else 1
     b, cin, h, width = x.shape
     if prepadded:
-        h, width = h - 8, width - 2
+        h, width = h - 8, width - 2 * wpad
     cout = w.shape[-1]
     out_dtype = out_dtype or x.dtype
     slab = _pick_slab(h)
-    xp = x if prepadded else jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    xp = x if prepadded else jnp.pad(
+        x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
     if variant == "dhdw":
         # W2[dh*Co+co, dw*C+c] = w[dh, dw, c, co]
         wp = w.transpose(0, 3, 1, 2).reshape(3 * cout, 3 * cin).astype(
@@ -194,7 +202,11 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
                 "flat": _fwd_kernel_flat}.get(variant, _fwd_kernel)
         kernel = functools.partial(body, slab=slab, width=width,
                                    cin=cin, cout=cout)
-    if variant in ("dwout", "flat"):
+        if variant == "dwnp":
+            kernel = functools.partial(_fwd_kernel_dwout, slab=slab,
+                                       width=width, cin=cin, cout=cout,
+                                       wpad=0)
+    if variant in ("dwout", "flat", "dwnp"):
         # flat output block: [B, Co, H*W] viewed as [B, Co, H, W] at the
         # end is a bitcast — kills the in-kernel acc->3D write relayout
         out_specs = pl.BlockSpec((1, cout, slab * width),
@@ -211,7 +223,8 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         grid=(b, h // slab),
         in_specs=[
             pl.BlockSpec((pl.Element(1), pl.Element(cin),
-                          pl.Element(slab + 8), pl.Element(width + 2)),
+                          pl.Element(slab + 8),
+                          pl.Element(width + 2 * wpad)),
                          lambda bi, si: (bi, 0, si * slab, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -281,6 +294,40 @@ def _wgrad_kernel_dhdw(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _wgrad_kernel_dwnp(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, Cin, slab+8, W] (NO W pad), g_ref [1, Co, slab, W],
+    o_ref [9, Cin, Cout] accumulated over the sequential grid.
+
+    The wgrad mirror of the dwnp forward: instead of contracting nine
+    dw-shifted x slices against g, contract THREE lane-aligned dh slices
+    against g and two masked lane-rolled copies of g —
+    dW[dh,dw] = sum_n x[ci, n] g[co, n - dw + 1] (zero outside the row).
+    Rolls are 32-bit only on Mosaic, so g is rolled as f32 and cast back
+    (bf16->f32->bf16 is exact)."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    g = g_ref[0].reshape(cout, slab * width)
+    gf = g.astype(jnp.float32)
+    n = jax.lax.broadcasted_iota(jnp.int32, gf.shape, 1)
+    # dw=0 tap: dW += sum_c x[c-1] g[c] = sum_n x[n] g[n+1]
+    g0 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(gf, slab * width - 1, 1)).astype(g.dtype)
+    # dw=2 tap: dW += sum_c x[c+1] g[c] = sum_n x[n] g[n-1]
+    g2 = jnp.where(n % width == 0, 0.0,
+                   pltpu.roll(gf, 1, 1)).astype(g.dtype)
+    gs = (g0, g, g2)
+    for dh in range(3):
+        xs = x[:, _HOFF + dh:_HOFF + dh + slab, :].reshape(
+            cin, slab * width)
+        for dw in range(3):
+            o_ref[dh * 3 + dw] += jax.lax.dot_general(
+                xs, gs[dw], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        interpret: bool = False,
                        variant: str = "im2col",
@@ -290,15 +337,18 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
+    wpad = 0 if variant == "dwnp" else 1
     b, cin, h, width = x.shape
     if prepadded:
-        h, width = h - 8, width - 2
+        h, width = h - 8, width - 2 * wpad
     cout = g.shape[1]
     slab = _pick_slab(h)
-    xp = x if prepadded else jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    xp = x if prepadded else jnp.pad(
+        x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
     kernel = functools.partial(
         {"im2col": _wgrad_kernel_im2col,
-         "dhdw": _wgrad_kernel_dhdw}.get(variant, _wgrad_kernel),
+         "dhdw": _wgrad_kernel_dhdw,
+         "dwnp": _wgrad_kernel_dwnp}.get(variant, _wgrad_kernel),
         slab=slab, width=width, cin=cin, cout=cout)
     out_shape = {"im2col": (9 * cin, cout),
                  "dhdw": (3 * cout, 3 * cin)}.get(variant, (9, cin, cout))
@@ -307,7 +357,8 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         grid=(b, h // slab),
         in_specs=[
             pl.BlockSpec((pl.Element(1), pl.Element(cin),
-                          pl.Element(slab + 8), pl.Element(width + 2)),
+                          pl.Element(slab + 8),
+                          pl.Element(width + 2 * wpad)),
                          lambda bi, si: (bi, 0, si * slab, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout, slab, width),
@@ -513,7 +564,9 @@ def _vjp_fwd_nchw(x, w, interpret, variant, out_dtype):
     # Pad once and keep the PADDED tensor as the residual: the wgrad
     # would otherwise re-pad x in the backward (profiled ~2.3 ms/step of
     # duplicate pad copies). XLA CSEs the forward's pad with this one.
-    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (1, 1)))
+    # (dwnp carries no W padding — see _fwd_kernel_dwout wpad=0.)
+    wp = 0 if variant == "dwnp" else 1
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (wp, wp)))
     y = conv3x3_nchw(xp, w, interpret, variant, out_dtype, prepadded=True)
     return y, (xp, w)
 
@@ -530,7 +583,7 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
         dw = conv3x3_nchw_wgrad(xp, g, interpret, variant,
                                 prepadded=True).astype(w.dtype)
     else:
-        x = xp[:, :, 4:-4, 1:-1]
+        x = xp[:, :, 4:-4] if variant == "dwnp" else xp[:, :, 4:-4, 1:-1]
         dx = _xla_conv_nchw(g, w_rot.astype(g.dtype))
         _, wvjp = jax.vjp(lambda ww: _xla_conv_nchw(x, ww), w)
         dw = wvjp(g.astype(x.dtype))[0]

@@ -62,8 +62,16 @@ def measure_jax() -> float:
     method = get_method("uaps")
     state, model = method.init_state(cfg, jax.random.key(0))
     tx = mbase.make_optimizer(cfg.optim)
-    step = jax.jit(method.make_train_step(cfg, model, tx),
-                   donate_argnums=0)
+    step_fn = method.make_train_step(cfg, model, tx)
+    step = jax.jit(step_fn, donate_argnums=0)
+    # K-step lax.scan per dispatch, mirroring the Trainer's production
+    # default (train.py auto-selects k=4 on a single-TPU run): the relay
+    # backend charges ~5 ms per jit dispatch (docs/PERF.md), which a
+    # single-step loop folds into every step. Override: UAPS_BENCH_K.
+    k = int(os.environ.get("UAPS_BENCH_K", "0"))
+    if k <= 0:
+        k = (4 if (jax.devices()[0].platform == "tpu" and n_dev == 1)
+             else 1)
 
     mesh = make_mesh()
     state = replicate_state(state, mesh)
@@ -76,21 +84,33 @@ def measure_jax() -> float:
         {"image": b["image"], "label": b["label"],
          "uimage": b["image"], "ulabel": b["label"]}, mesh)
 
+    if k > 1:
+        import jax.numpy as jnp
+
+        def multi(st, batches):
+            return jax.lax.scan(step_fn, st, batches)
+        step = jax.jit(multi, donate_argnums=0)
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (k, *x.shape)), batch)
+        log(f"dispatch: {k}-step lax.scan per jit call")
+
     # NOTE: jax.block_until_ready does not reliably block on the tunneled
     # 'axon' backend; fetching the final chained metric value is the only
     # trustworthy fence, so we sync on metrics['loss'] of the LAST step.
+    n_dispatch = max(1, TIMED_STEPS // k)
+    timed_steps = n_dispatch * k
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
-    float(metrics["loss"])
+    float(metrics["loss"][-1] if k > 1 else metrics["loss"])
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
+    for _ in range(n_dispatch):
         state, metrics = step(state, batch)
-    final_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"][-1] if k > 1 else metrics["loss"])
     dt = time.perf_counter() - t0
     log(f"final loss after timed steps: {final_loss:.4f}")
-    imgs = TIMED_STEPS * 2 * BATCH  # labeled + unlabeled per step
+    imgs = timed_steps * 2 * BATCH  # labeled + unlabeled per step
     per_chip = imgs / dt / max(n_dev, 1)
-    log(f"jax: {TIMED_STEPS} steps in {dt:.3f}s -> "
+    log(f"jax: {timed_steps} steps in {dt:.3f}s -> "
         f"{imgs / dt:.2f} imgs/s total, {per_chip:.2f} imgs/s/chip")
     return per_chip
 

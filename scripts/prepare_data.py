@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import shutil
 import sys
 from collections import defaultdict
@@ -71,17 +72,33 @@ def _scan_dirs(source: str) -> Dict[str, List[str]]:
 
 
 def _stem(fn: str) -> str:
-    return fn.split(".")[0]
+    # extension-only split: inner dots stay part of the stem so
+    # img.v1.png / img.v2.png pair independently. Ingest sanitizes
+    # inner dots out of DESTINATION names, because the training
+    # pipeline reads files as <first-dot stem> + ext
+    # (data/pipeline.py:28).
+    return os.path.splitext(fn)[0]
 
 
-def _pair_dirs(found: Dict[str, List[str]]
+def _dir_tag(d: str, source: str) -> str:
+    rel = os.path.relpath(d, source)
+    return re.sub(r"[^A-Za-z0-9_-]+", "_", rel)
+
+
+def _pair_dirs(found: Dict[str, List[str]], source: str = "/"
                ) -> List[Tuple[str, str, List[str]]]:
     """Find (image_dir, mask_dir, stems) pairs by matching stem sets.
 
     Masks are recognized by directory name hints (mask/annot/label/gt/
     ground) or, failing that, by being the grayscale member of a pair
-    with >=90% stem overlap."""
+    with >=90% stem overlap. Hints are tested against the SOURCE-relative
+    path, so a hint substring in the download's parent path (e.g.
+    /home/gtaylor/raw) cannot make every directory a mask candidate."""
     hints = ("mask", "annot", "label", "gt", "ground")
+
+    def _rel_lower(p):
+        return os.path.relpath(p, source).lower()
+
     dirs = list(found)
     pairs = []
     used = set()
@@ -93,7 +110,7 @@ def _pair_dirs(found: Dict[str, List[str]]
         for m in dirs:
             if m == d or m in used:
                 continue
-            if not any(h in m.lower() for h in hints):
+            if not any(h in _rel_lower(m) for h in hints):
                 continue
             stems_m = {_stem(f) for f in found[m]}
             inter = stems_d & stems_m
@@ -119,7 +136,7 @@ def ingest(dataset: str, source: str, root: str, copy: bool = False):
     info = DATASETS[dataset]
     out = os.path.join(root, dataset)
     found = _scan_dirs(source)
-    pairs = _pair_dirs(found)
+    pairs = _pair_dirs(found, source)
     if not pairs:
         sys.exit(f"ERROR: no image/mask directory pairs found under "
                  f"{source}. Expected directories of images plus a "
@@ -160,11 +177,27 @@ def ingest(dataset: str, source: str, root: str, copy: bool = False):
         mask_out = os.path.join(out, mask_dir_name)
         os.makedirs(img_out, exist_ok=True)
         os.makedirs(mask_out, exist_ok=True)
+        placed = set()
         for d, m, stems in plist:
+            # multiple source dir pairs flatten into one output dir
+            # (e.g. DAGM Class1..Class10): prefix each pair's files with
+            # its source-relative tag so same-stem files from different
+            # classes cannot silently overwrite each other
+            tag = "" if len(plist) == 1 else _dir_tag(d, source) + "_"
             for s in stems:
                 fi, fm = ext_of(d, s), ext_of(m, s)
-                _place(os.path.join(d, fi), os.path.join(img_out, fi), copy)
-                _place(os.path.join(m, fm), os.path.join(mask_out, fm), copy)
+                # destination stem must be dot-free: the training
+                # pipeline derives stems by first-dot split
+                safe = (tag + s).replace(".", "_")
+                if safe in placed:
+                    sys.exit(f"ERROR: destination name collision "
+                             f"{safe!r} (from {os.path.join(d, fi)}); "
+                             f"rename the colliding source files")
+                placed.add(safe)
+                di = safe + os.path.splitext(fi)[1]
+                dm = safe + os.path.splitext(fm)[1]
+                _place(os.path.join(d, fi), os.path.join(img_out, di), copy)
+                _place(os.path.join(m, fm), os.path.join(mask_out, dm), copy)
                 n_total += 1
     print(f"ingested {n_total} image/mask pairs -> {out}")
     validate(dataset, root)
@@ -283,12 +316,15 @@ def main(argv=None):
             p.error("ingest needs --dataset and --source")
         ingest(a.dataset, a.source, a.root, copy=a.copy)
         return
-    targets = sorted(DATASETS) if (a.all or not a.dataset) else [a.dataset]
-    results = {d: validate(d, a.root) for d in targets
-               if a.all is False or os.path.isdir(os.path.join(a.root, d))
-               or d == a.dataset}
-    if not results:
-        print(f"no datasets found under {a.root}")
+    if a.dataset and not a.all:
+        # explicit dataset: validate it even if absent (show the failure)
+        results = {a.dataset: validate(a.dataset, a.root)}
+    else:
+        # --all, or bare `validate`: check whatever is provisioned
+        results = {d: validate(d, a.root) for d in sorted(DATASETS)
+                   if os.path.isdir(os.path.join(a.root, d))}
+        if not results:
+            print(f"no datasets found under {a.root}")
     if not all(results.values()):
         sys.exit(1)
 

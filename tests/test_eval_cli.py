@@ -20,7 +20,8 @@ def test_evaluate_after_training(tmp_path):
     Trainer(cfg).run()
 
     viz = tmp_path / "viz"
-    results = evaluate(cfg, str(tmp_path / "checkpoints"), split="test",
+    # pass the RUN dir — evaluate() must find its checkpoints/ subdir
+    results = evaluate(cfg, str(tmp_path), split="test",
                        save_viz=str(viz))
     for k in ["miou", "mdice", "pixel_acc", "p50_latency_ms"]:
         assert np.isfinite(results[k]), k

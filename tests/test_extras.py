@@ -55,6 +55,27 @@ class TestResNet:
         np.testing.assert_allclose(np.asarray(tta.sum(-1)), 10.0, rtol=1e-3)
 
 
+class TestFlipTTA:
+    def test_flip_tta_softmax_unflips_correctly(self):
+        """With a POINTWISE forward, flipping the input then unflipping
+        the probs must cancel exactly — every TTA term equals the plain
+        softmax, so any H/V axis mix-up in the unflip shows up."""
+        import jax
+        import jax.numpy as jnp
+        from uaps_tpu.ops.tta import flip_tta_softmax
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.standard_normal((2, 8, 10, 3)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 4)), jnp.float32)
+
+        def forward(variables, x):
+            return x @ variables["w"]
+
+        out = flip_tta_softmax(forward, {"w": w}, img)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jax.nn.softmax(img @ w, axis=-1)),
+            rtol=1e-6, atol=1e-6)
+
+
 class TestResizeAlignCorners:
     def test_matches_torch_arbitrary_size(self, rng):
         a = rng.standard_normal((1, 9, 13, 2)).astype(np.float32)

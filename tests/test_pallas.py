@@ -300,6 +300,19 @@ class TestConv3x3Kernels:
                                        np.asarray(g_t[1]),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_unknown_variant_errors(self):
+        """A typo'd UAPS_CONV_VARIANT must raise, not silently run
+        'taps' labeled as something else (review finding)."""
+        from uaps_tpu.pallas.conv3x3_nchw import (conv3x3_nchw,
+                                                  conv3x3_nchw_wgrad)
+        x = jnp.zeros((1, 8, 16, 128), jnp.float32)
+        w = jnp.zeros((3, 3, 8, 16), jnp.float32)
+        g = jnp.zeros((1, 16, 16, 128), jnp.float32)
+        with pytest.raises(ValueError, match="unknown conv variant"):
+            conv3x3_nchw(x, w, True, "tap")
+        with pytest.raises(ValueError, match="unknown conv variant"):
+            conv3x3_nchw_wgrad(x, g, True, "imcol")
+
     def test_gated_backward_large_cin(self, rng):
         """cin > 32 routes dgrad/wgrad to XLA (measured faster on v5e);
         interpret mode forces the pallas branch, so compare the two gate

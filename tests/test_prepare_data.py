@@ -76,6 +76,25 @@ class TestIngest:
         assert not os.path.isdir(os.path.join(base, "test_images"))
         assert prep.validate("dagm", root)
 
+    def test_multiclass_same_stems_no_overwrite(self, tmp_path):
+        """DAGM-like raw layout: Class1..Class3 all number their files
+        0000.PNG... — flattening must tag-prefix per source dir, not
+        silently overwrite (review finding: ~90% of the download used
+        to vanish, with the full count still reported)."""
+        src = tmp_path / "raw_dagm"
+        for c in ("Class1", "Class2", "Class3"):
+            _write_pairs(src / c / "imgs", src / c / "Label", 6, "",
+                         channels=1, classes=7, img_ext=".PNG")
+        root = str(tmp_path / "data")
+        prep.ingest("dagm", str(src), root)
+        base = os.path.join(root, "dagm")
+        imgs = os.listdir(os.path.join(base, "images"))
+        masks = os.listdir(os.path.join(base, "annotations"))
+        assert len(imgs) == 18 and len(masks) == 18
+        # destination stems must be dot-free (pipeline first-dot stems)
+        assert all(fn.count(".") == 1 for fn in imgs + masks)
+        assert prep.validate("dagm", root)
+
     def test_validate_catches_missing_masks(self, raw_neu, tmp_path):
         root = str(tmp_path / "data")
         prep.ingest("neu", raw_neu, root)

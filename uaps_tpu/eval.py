@@ -49,6 +49,12 @@ def evaluate(cfg, ckpt_dir: str, split: str = "test",
     family models average softmax over the 4 H/V flips."""
     method = get_method(cfg.method.name)
     state, model = method.init_state(cfg, jax.random.key(cfg.run.seed))
+    # accept a run dir (out_dir of train.py) as well as its checkpoints/:
+    # an orbax root holds numeric step dirs; a run dir holds checkpoints/
+    sub = os.path.join(ckpt_dir, "checkpoints")
+    if os.path.isdir(sub) and not any(
+            e.isdigit() for e in os.listdir(ckpt_dir)):
+        ckpt_dir = sub
     ckpt = CheckpointManager(os.path.abspath(ckpt_dir))
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
@@ -96,16 +102,8 @@ def evaluate(cfg, ckpt_dir: str, split: str = "test",
             return model.apply(variables, image, train=False, tta=True)
         if tta:
             # U-Net family flip-TTA: mean softmax over H/V flips
-            total = None
-            for fh, fv in ((False, False), (True, False),
-                           (False, True), (True, True)):
-                cur = image[:, :, ::-1] if fh else image
-                cur = cur[:, ::-1] if fv else cur
-                p = jax.nn.softmax(_forward(variables, cur), axis=-1)
-                p = p[:, :, ::-1] if fh else p
-                p = p[:, ::-1] if fv else p
-                total = p if total is None else total + p
-            return total / 4.0
+            from uaps_tpu.ops.tta import flip_tta_softmax
+            return flip_tta_softmax(_forward, variables, image)
         return _forward(variables, image)
 
     @jax.jit

@@ -36,6 +36,11 @@ def _pick_slab(h: int) -> int:
 # padded width.
 _HOFF = 3  # block-relative row of true row si*slab - 1
 
+# every selectable kernel variant; a typo'd UAPS_CONV_VARIANT must error,
+# not silently run 'taps' labeled as something else
+VARIANTS = frozenset(
+    {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp", "fullh"})
+
 
 def _fwd_kernel(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     """x_ref [1, C, slab+8, W+2], w_ref [9, Cin, Cout],
@@ -169,6 +174,9 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
     produce f32 outputs straight from the f32 accumulator (the logits
     head: full output precision at bf16 DMA/matmul cost — the f32-in
     out_conv was profiled at 0.9 ms/call vs ~0.45 for bf16-in)."""
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown conv variant {variant!r}; "
+                         f"expected one of {sorted(VARIANTS)}")
     if variant == "fullh":
         # fullh does its own (H-only) padding and writes x.dtype outputs:
         # strip any caller pre-padding and convert afterwards (the variant
@@ -333,6 +341,9 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        variant: str = "im2col",
                        prepadded: bool = False) -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown conv variant {variant!r}; "
+                         f"expected one of {sorted(VARIANTS)}")
     if variant == "fullh":
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]

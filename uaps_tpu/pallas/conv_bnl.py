@@ -225,8 +225,6 @@ def _bnl_vjp_bwd(out_dtype, interpret, res, g):
     )(gp, wr, y, f2, s2)
 
     yp = jnp.pad(y, ((0, 0), (0, 0), (4, 4), (1, 1)))  # CSE'd with fwd
-    wp9 = w.reshape(9, cin, cout)
-    del wp9
     wgrad = functools.partial(_bnl_wgrad_kernel, slab=slab, width=width,
                               cin=cin, cout=cout, h=h)
     dw_flat = pl.pallas_call(

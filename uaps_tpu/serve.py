@@ -78,16 +78,8 @@ class InferenceEngine:
                 scores = model.apply(variables, x, train=False, tta=True)
                 probs = scores / jnp.sum(scores, axis=-1, keepdims=True)
             elif tta:
-                total = None
-                for fh, fv in ((False, False), (True, False),
-                               (False, True), (True, True)):
-                    cur = x[:, :, ::-1] if fh else x
-                    cur = cur[:, ::-1] if fv else cur
-                    p = jax.nn.softmax(_forward(variables, cur), axis=-1)
-                    p = p[:, :, ::-1] if fh else p
-                    p = p[:, ::-1] if fv else p
-                    total = p if total is None else total + p
-                probs = total / 4.0
+                from uaps_tpu.ops.tta import flip_tta_softmax
+                probs = flip_tta_softmax(_forward, variables, x)
             else:
                 probs = jax.nn.softmax(_forward(variables, x), axis=-1)
             return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs

@@ -79,12 +79,16 @@ class AsyncBatcher:
         if self._stop.is_set():
             raise RuntimeError("batcher is shut down")
         image = np.asarray(image)
-        if self._shape is None:
-            self._shape = image.shape
-        elif image.shape != self._shape:
-            raise ValueError(
-                f"image shape {image.shape} != batcher shape "
-                f"{self._shape}; one compiled shape per batcher")
+        # check-then-set under the lock: two concurrent FIRST requests
+        # with different shapes must not both pin/pass (ThreadingHTTPServer
+        # calls submit() from many threads)
+        with self._lock:
+            if self._shape is None:
+                self._shape = image.shape
+            elif image.shape != self._shape:
+                raise ValueError(
+                    f"image shape {image.shape} != batcher shape "
+                    f"{self._shape}; one compiled shape per batcher")
         fut: Future = Future()
         self._q.put((image, fut, time.perf_counter()))
         return fut

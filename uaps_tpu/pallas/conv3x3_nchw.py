@@ -41,6 +41,30 @@ _HOFF = 3  # block-relative row of true row si*slab - 1
 VARIANTS = frozenset(
     {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp", "fullh"})
 
+# Experiment knobs, read ONCE at import (A/B harnesses run one config
+# per process): UAPS_CONV_DIMSEM=1 marks the fwd grid dims parallel
+# (every (bi, si) output block is independent); UAPS_CONV_INFUSE=1 asks
+# Mosaic to fuse the x producer (the feeding jnp.pad) into the kernel's
+# input pipeline instead of materializing the padded tensor in HBM.
+import os as _os  # noqa: E402
+_DIMSEM = _os.environ.get("UAPS_CONV_DIMSEM", "0") == "1"
+_INFUSE = _os.environ.get("UAPS_CONV_INFUSE", "0") == "1"
+
+
+def _fwd_compiler_params():
+    if not (_DIMSEM or _INFUSE):
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel") if _DIMSEM else None,
+        allow_input_fusion=[True, False] if _INFUSE else None)
+
+
+def _wgrad_compiler_params():
+    # wgrad accumulates over the sequential grid -> dims stay arbitrary
+    if not _INFUSE:
+        return None
+    return pltpu.CompilerParams(allow_input_fusion=[True, False])
+
 
 def _fwd_kernel(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     """x_ref [1, C, slab+8, W+2], w_ref [9, Cin, Cout],
@@ -240,6 +264,7 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_fwd_compiler_params(),
     )(xp, wp)
     return y.reshape(b, cout, h, width)
 
@@ -381,6 +406,7 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
+        compiler_params=_wgrad_compiler_params(),
     )(xp, g)
     if variant == "dhdw":
         # [3Co, 3C] rows dh*Co+co, cols dw*C+c -> [3, 3, Cin, Cout]

@@ -72,14 +72,27 @@ if __name__ == "__main__":
     results = {}
     print("=== phase 1: UAPS step, conv variants ===", flush=True)
     for v in variants:
-        if v:
+        if not v:
+            continue
+        try:
             results[f"uaps/{v}"] = time_step("uaps", v)
-            print("PARTIAL", json.dumps(results), flush=True)
-    best = min((v for v in variants if v),
-               key=lambda v: results[f"uaps/{v}"])
+        except Exception as e:  # Mosaic may reject an untried variant
+            print(f"  uaps/{v} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            results[f"uaps/{v}"] = None
+        print("PARTIAL", json.dumps(results), flush=True)
+    ok = {v: results[f"uaps/{v}"] for v in variants
+          if v and results.get(f"uaps/{v}") is not None}
+    best = min(ok, key=ok.get) if ok else "taps"
     print(f"=== phase 2: method suite (conv_variant={best}) ===", flush=True)
     for m in methods:
-        if m:
+        if not m:
+            continue
+        try:
             results[f"{m}/{best}"] = time_step(m, best)
-            print("PARTIAL", json.dumps(results), flush=True)
+        except Exception as e:
+            print(f"  {m}/{best} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            results[f"{m}/{best}"] = None
+        print("PARTIAL", json.dumps(results), flush=True)
     print("FINAL", json.dumps(results), flush=True)

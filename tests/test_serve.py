@@ -62,6 +62,26 @@ class TestInferenceEngine:
         assert masks.shape == (2, 32, 32)
 
 
+class TestExport:
+    def test_export_roundtrip_matches_engine(self, engine, tmp_path):
+        """InferenceEngine.export() -> single-file artifact ->
+        ExportedEngine reproduces the live engine bit-for-bit (same
+        masks, same probs), including normalization and the padding
+        micro-batcher, with no model/config code needed at load."""
+        from uaps_tpu.serve import ExportedEngine
+        _, eng = engine
+        path = str(tmp_path / "uaps.jaxexport")
+        eng.export(path)
+        loaded = ExportedEngine(path)
+        assert loaded.meta["num_classes"] == 4
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 255, (5, 32, 32, 3)).astype(np.uint8)
+        m1, p1 = eng.predict(imgs)
+        m2, p2 = loaded.predict(imgs)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-7)
+
+
 class TestFromTorch:
     def test_serve_reference_pth_directly(self, tmp_path):
         """Reference-format .pth (UAPS_train.py:442-450 layout) straight

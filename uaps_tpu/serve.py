@@ -108,6 +108,37 @@ class InferenceEngine:
         return cls(cfg, params=params, batch_stats=stats, **kw)
 
     # ------------------------------------------------------------------
+    def export(self, path: str) -> None:
+        """Serialize the compiled predictor to ONE self-contained
+        deployment artifact (jax.export StableHLO blob, weights baked in
+        as constants, plus the preprocessing header). Deserialization
+        needs jax but none of this package's model/config code:
+        `ExportedEngine(path).predict(images)`."""
+        import json
+        from jax import export as jexport
+        h, w = self.cfg.data.image_size
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, h, w, self.cfg.data.in_channels),
+            jnp.float32)
+        params, stats = self.params, self.batch_stats
+        exported = jexport.export(
+            jax.jit(lambda x: self._predict(params, stats, x)))(spec)
+        blob = exported.serialize()
+        header = json.dumps({
+            "batch_size": self.batch_size, "image_size": [h, w],
+            "in_channels": self.cfg.data.in_channels,
+            "mean": list(self.cfg.data.mean),
+            "std": list(self.cfg.data.std),
+            "num_classes": self.cfg.data.num_classes,
+            "model": self.cfg.model.name,
+        }).encode()
+        with open(path, "wb") as f:
+            f.write(len(header).to_bytes(8, "little"))
+            f.write(header)
+            f.write(blob)
+
+
+    # ------------------------------------------------------------------
     def _normalize(self, images: np.ndarray) -> np.ndarray:
         if images.dtype == np.uint8:
             from uaps_tpu import native
@@ -147,14 +178,54 @@ class InferenceEngine:
         return np.concatenate(maps)
 
 
+class ExportedEngine:
+    """Load + run an InferenceEngine.export() artifact: the same
+    predict() contract (uint8/float batches in, masks + probs out)
+    without needing checkpoints, configs, or the model zoo."""
+
+    def __init__(self, path: str):
+        import json
+        from jax import export as jexport
+        with open(path, "rb") as f:
+            n = int.from_bytes(f.read(8), "little")
+            self.meta = json.loads(f.read(n).decode())
+            self._exported = jexport.deserialize(f.read())
+        self.batch_size = self.meta["batch_size"]
+
+    def _normalize(self, images: np.ndarray) -> np.ndarray:
+        if images.dtype == np.uint8:
+            mean = np.asarray(self.meta["mean"], np.float32) * 255.0
+            std = np.asarray(self.meta["std"], np.float32) * 255.0
+            return (images.astype(np.float32) - mean) / std
+        return images.astype(np.float32)
+
+    def predict(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        x = self._normalize(images)
+        bs = self.batch_size
+        masks, probs = [], []
+        for i in range(0, x.shape[0], bs):
+            chunk = x[i:i + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            m, p = self._exported.call(jnp.asarray(chunk))
+            masks.append(np.asarray(m)[:n])
+            probs.append(np.asarray(p)[:n])
+        return np.concatenate(masks), np.concatenate(probs)
+
+
 def main(argv=None):
     from uaps_tpu.train import parse_args
     from uaps_tpu.eval import colorize
     import cv2
     cfg, _ = parse_args(argv)
     p = argparse.ArgumentParser()
-    p.add_argument("--images", required=True)
-    p.add_argument("--out", required=True)
+    p.add_argument("--images", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="write a self-contained jax.export deployment "
+                        "artifact (weights baked in) and exit")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--torch_ckpt", default=None)
     p.add_argument("--uncertainty", action="store_true")
@@ -170,6 +241,14 @@ def main(argv=None):
         engine = InferenceEngine(
             cfg, extra.ckpt or os.path.join(cfg.run.out_dir, "checkpoints"),
             tta=extra.tta)
+
+    if extra.export:
+        engine.export(extra.export)
+        print(f"exported deployment artifact -> {extra.export} "
+              f"({os.path.getsize(extra.export)} bytes)")
+        return
+    if not (extra.images and extra.out):
+        p.error("--images and --out are required (or use --export)")
 
     os.makedirs(extra.out, exist_ok=True)
     names = sorted(os.listdir(extra.images))

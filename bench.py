@@ -89,10 +89,24 @@ def measure_jax() -> float:
 
         def multi(st, batches):
             return jax.lax.scan(step_fn, st, batches)
-        step = jax.jit(multi, donate_argnums=0)
-        batch = jax.tree.map(
+        step_scan = jax.jit(multi, donate_argnums=0)
+        batch_k = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (k, *x.shape)), batch)
-        log(f"dispatch: {k}-step lax.scan per jit call")
+        # the scan path must never sink the driver's unattended bench
+        # run: on ANY failure fall back to single-step dispatch (state
+        # is re-initialized — a failed donated call may have consumed
+        # the old buffers)
+        try:
+            state, metrics = step_scan(state, batch_k)
+            float(metrics["loss"][-1])
+            step, batch = step_scan, batch_k
+            log(f"dispatch: {k}-step lax.scan per jit call")
+        except Exception as e:
+            log(f"scan dispatch failed ({type(e).__name__}: "
+                f"{str(e)[:200]}); falling back to single-step")
+            k = 1
+            state, _ = method.init_state(cfg, jax.random.key(0))
+            state = replicate_state(state, mesh)
 
     # NOTE: jax.block_until_ready does not reliably block on the tunneled
     # 'axon' backend; fetching the final chained metric value is the only

@@ -95,6 +95,29 @@ class TestIngest:
         assert all(fn.count(".") == 1 for fn in imgs + masks)
         assert prep.validate("dagm", root)
 
+    def test_dotted_filenames_pair_and_sanitize(self, tmp_path):
+        """img.v1.jpg / img.v2.jpg must pair with their own masks (stem
+        = last-dot split) and ingest under dot-free destination names
+        (the pipeline derives stems by FIRST-dot split)."""
+        import cv2 as _cv2
+        src = tmp_path / "raw"
+        imd, mkd = src / "imgs", src / "annot"
+        os.makedirs(imd), os.makedirs(mkd)
+        rng = np.random.default_rng(3)
+        stems = [f"img.v{i}" for i in range(8)]
+        for s in stems:
+            img = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+            mask = rng.integers(0, 4, (48, 48)).astype(np.uint8)
+            _cv2.imwrite(str(imd / f"{s}.jpg"), img)
+            _cv2.imwrite(str(mkd / f"{s}.png"), mask)
+        root = str(tmp_path / "data")
+        prep.ingest("neu", str(src), root)
+        imgs = sorted(os.listdir(os.path.join(root, "neu", "images")))
+        masks = sorted(os.listdir(os.path.join(root, "neu",
+                                               "annotations")))
+        assert imgs == [f"img_v{i}.jpg" for i in range(8)]
+        assert masks == [f"img_v{i}.png" for i in range(8)]
+
     def test_validate_catches_missing_masks(self, raw_neu, tmp_path):
         root = str(tmp_path / "data")
         prep.ingest("neu", raw_neu, root)

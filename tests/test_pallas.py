@@ -139,6 +139,50 @@ class TestFusedPerturbKernels:
                                        rtol=1e-6)
 
 
+class TestPerturbLaneRouting:
+    """Routing/chunking logic of the lane-aligned elementwise view
+    (pallas/perturb.py _lane_blocks / _fdrop_pallas_ok). The NHWC
+    [B,256,256,16] ConvBlock dropout of the deep-supervision models OOM'd
+    scoped VMEM (64 MB: int32 random bits lane-padded 16->128) until the
+    kernels switched to this view; these pin the dispatch decisions."""
+
+    def test_lane_blocks_aligned(self):
+        from uaps_tpu.pallas.perturb import _lane_blocks
+        # the shape class that OOM'd: per-example 256*256*16 = 2^20
+        sub, chunk = _lane_blocks(jnp.zeros((16, 256, 256, 16)))
+        assert sub == 256 * 256 * 16 // 128 and sub % chunk == 0
+        assert chunk == 2048  # full power-of-two chunks
+        # NCHW level-0 activations
+        sub2, chunk2 = _lane_blocks(jnp.zeros((16, 16, 256, 256)))
+        assert sub2 == sub and chunk2 == 2048
+        # odd per-example size: falls back to the layout-shaped path
+        assert _lane_blocks(jnp.zeros((4, 3, 200, 200)))[0] == 0
+        # rank-2 test shapes: single-program path
+        assert _lane_blocks(jnp.zeros((64, 128)))[0] == 0
+
+    def test_fdrop_gate(self):
+        from uaps_tpu.pallas.perturb import _fdrop_pallas_ok
+        # NHWC big-spatial: att [1,256,256,1] pads 1->128 lanes = 32 MB
+        assert not _fdrop_pallas_ok(jnp.zeros((16, 256, 256, 16)), -1)
+        # NCHW same data: att [1,1,256,256] stays 0.25 MB
+        assert _fdrop_pallas_ok(jnp.zeros((16, 16, 256, 256)), 1)
+        # NHWC small-spatial (the uaps skip levels that already ran)
+        assert _fdrop_pallas_ok(jnp.zeros((16, 64, 64, 64)), -1)
+
+    def test_lane_path_matches_layout_path_interpret(self):
+        """Same seed, same data, two views: the lane-aligned kernel must
+        produce A valid dropout (not necessarily the same bitstream);
+        pin determinism + scaling through the public API on CPU."""
+        from uaps_tpu.pallas.perturb import fused_dropout
+        x = jnp.ones((4, 8, 16, 16))  # rest=2048, lane-aligned
+        seed = jnp.asarray(3, jnp.int32)
+        a = np.asarray(fused_dropout(x, seed, 0.5))
+        b = np.asarray(fused_dropout(x, seed, 0.5))
+        np.testing.assert_array_equal(a, b)
+        nz = a[a != 0]
+        np.testing.assert_allclose(nz, 2.0, rtol=1e-6)
+
+
 class TestFusedPerturbFallbacks:
     """The platform-generic custom-vjp wrappers (jax.random path on CPU)
     must be differentiable with mask-regenerating backward semantics."""

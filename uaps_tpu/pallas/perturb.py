@@ -26,6 +26,7 @@ distribution).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,55 @@ def _uniform01(shape) -> jax.Array:
 
 def _use_pallas():
     return jax.devices()[0].platform == "tpu"
+
+
+_LANE = 128
+_MAX_SUB = 2048   # sublanes per block: 1 MB of int32 random bits
+
+
+def _lane_blocks(x):
+    """(sublanes_per_example, chunk) for the lane-aligned elementwise
+    view of x, or (0, 0) when the per-example size isn't lane-aligned.
+
+    Dropout and feature-noise are elementwise, so the kernel is free to
+    view each example as [S, 128] rows instead of the model's activation
+    layout. This matters: a [1, H, W, C] NHWC block with C < 128 puts C
+    in the lane dim and Mosaic relayouts the int32 random-bits tensor at
+    128/C x memory cost — measured as a 64 MB scoped-VMEM OOM on
+    [16,256,256,16] bf16 (the C=16 in_conv dropout of the NHWC
+    deep-supervision models). The [S, 128] view wastes zero lanes for
+    any per-example size divisible by 128 and is chunked to at most
+    _MAX_SUB sublanes so scoped VMEM stays bounded for f32 inputs too."""
+    if x.ndim < 3:
+        return 0, 0
+    rest = math.prod(x.shape[1:])
+    if rest % _LANE:
+        return 0, 0
+    sub = rest // _LANE
+    return sub, math.gcd(sub, _MAX_SUB)
+
+
+def _elemwise_call(kernel, seed, x, interpret):
+    """Grid an elementwise kernel over (batch, chunks) of the lane-
+    aligned [B, S, 128] view. kernel(seed_ref, x_block, o_block) sees
+    [1, chunk, 128] blocks and derives its own per-program seed offset
+    from the grid. Caller must have checked _lane_blocks(x)[0] > 0."""
+    b = x.shape[0]
+    sub, chunk = _lane_blocks(x)
+    x3 = x.reshape(b, sub, _LANE)
+    idx = lambda bi, ci: (bi, ci, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, sub // chunk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, chunk, _LANE), idx,
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, chunk, _LANE), idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        interpret=interpret,
+    )(seed, x3)
+    return out.reshape(x.shape)
 
 
 def _batched_call(kernel, seed, x, interpret, n_out_like=None):
@@ -96,7 +146,21 @@ def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float, gridded: bool):
                            jnp.zeros_like(x_ref[...]))
 
 
+def _dropout_kernel_lanes(seed_ref, x_ref, o_ref, *, rate: float):
+    # distinct bits per example AND per chunk
+    off = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + off)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    keep = _mask_from_bits(bits, rate)
+    scale = jnp.asarray(1.0 / (1.0 - rate), x_ref.dtype)
+    o_ref[...] = jnp.where(keep, x_ref[...] * scale,
+                           jnp.zeros_like(x_ref[...]))
+
+
 def _dropout_call(seed, x, rate, interpret):
+    if _lane_blocks(x)[0]:
+        k = functools.partial(_dropout_kernel_lanes, rate=rate)
+        return _elemwise_call(k, seed.reshape(1), x, interpret)
     k = functools.partial(_dropout_kernel, rate=rate, gridded=x.ndim >= 3)
     return _batched_call(k, seed.reshape(1), x, interpret)
 
@@ -147,7 +211,19 @@ def _noise_kernel(seed_ref, x_ref, o_ref, *, rng: float):
                   * (1.0 + u)).astype(o_ref.dtype)
 
 
+def _noise_kernel_lanes(seed_ref, x_ref, o_ref, *, rng: float):
+    # seed depends on the CHUNK only: every example of a chunk draws the
+    # same bits -> noise stays batch-broadcast in the lane-aligned view
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(1))
+    u = _uniform01(x_ref.shape) * (2.0 * rng) - rng
+    o_ref[...] = (x_ref[...].astype(jnp.float32)
+                  * (1.0 + u)).astype(o_ref.dtype)
+
+
 def _noise_call(seed, x, rng, interpret):
+    if _lane_blocks(x)[0]:
+        k = functools.partial(_noise_kernel_lanes, rng=rng)
+        return _elemwise_call(k, seed.reshape(1), x, interpret)
     k = functools.partial(_noise_kernel, rng=rng)
     return _batched_call(k, seed.reshape(1), x, interpret)
 
@@ -199,6 +275,21 @@ def _fdrop_call(seed, x, channel_axis, interpret):
     return _batched_call(k, seed.reshape(1), x, interpret)
 
 
+def _fdrop_pallas_ok(x, channel_axis) -> bool:
+    """FeatureDropout's in-kernel attention map keeps the block's layout
+    with the channel dim reduced to 1; when the channel is the LANE dim
+    (NHWC) the map pads 1 -> 128 lanes, costing 128x VMEM — 32 MB for a
+    [1,256,256,1] f32 map, a scoped-VMEM OOM. Gate the kernel off for
+    those shapes (the jax.random path below is pure XLA and runs fine
+    on TPU); NCHW blocks reduce a sublane-side dim and stay tiny."""
+    ax = channel_axis % x.ndim
+    dims = [1 if i in (0, ax) else d for i, d in enumerate(x.shape)]
+    lane = -(-dims[-1] // 128) * 128
+    sub = -(-dims[-2] // 8) * 8
+    lead = math.prod(dims[:-2])
+    return lead * sub * lane * 4 <= 4 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def fused_feature_dropout(x: jax.Array, seed: jax.Array,
                           channel_axis: int = -1):
@@ -207,7 +298,7 @@ def fused_feature_dropout(x: jax.Array, seed: jax.Array,
     The mask depends on x, so (matching torch, where comparisons are
     non-differentiable) the VJP treats the mask as constant: dx = g*mask,
     with x as the only residual."""
-    if _use_pallas():
+    if _use_pallas() and _fdrop_pallas_ok(x, channel_axis):
         return _fdrop_call(seed, x, channel_axis, False)
     att = jnp.mean(x.astype(jnp.float32), axis=channel_axis, keepdims=True)
     mx = jnp.max(att.reshape(x.shape[0], -1), axis=1)
@@ -227,7 +318,7 @@ def _fdrop_bwd(channel_axis, res, g):
     # regenerate the mask from x + the seeded scalar, apply to g. Reuse
     # the forward kernels on |sign trick|: mask*g == fwd(g with x's mask);
     # the kernel needs x to compute attention, so recompute via where():
-    if _use_pallas():
+    if _use_pallas() and _fdrop_pallas_ok(x, channel_axis):
         # one fused kernel pass: mask(x) applied to g
         ax = channel_axis % x.ndim
 

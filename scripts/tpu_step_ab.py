@@ -50,11 +50,14 @@ def measure(variant: str) -> float:
     cfg = preset("neu", method="uaps")
     cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
                                    image_size=IMAGE)
-    cfg.model = dataclasses.replace(
-        cfg.model, compute_dtype="bfloat16", conv_backend=backend,
-        head_variant=flag_kv.get("head", "taps"),
-        conv_variant=flag_kv.get("var", "taps"),
-        dropout_backend=flag_kv.get("drop", "auto"))
+    # conv_variant: only override when var= is given — the bare legs must
+    # measure the production default (dwnp), not a stale hardcode
+    mrep = dict(compute_dtype="bfloat16", conv_backend=backend,
+                head_variant=flag_kv.get("head", "taps"),
+                dropout_backend=flag_kv.get("drop", "auto"))
+    if "var" in flag_kv:
+        mrep["conv_variant"] = flag_kv["var"]
+    cfg.model = dataclasses.replace(cfg.model, **mrep)
     cfg.method = dataclasses.replace(
         cfg.method, fused_uncertainty=flag_kv.get("unc", "1") != "0")
     method = get_method("uaps")

@@ -57,9 +57,13 @@ def measure(variant: str) -> float:
                 dropout_backend=flag_kv.get("drop", "auto"))
     if "var" in flag_kv:
         mrep["conv_variant"] = flag_kv["var"]
+    if flag_kv.get("stack") == "1":
+        mrep["stack_decoders"] = True
     cfg.model = dataclasses.replace(cfg.model, **mrep)
-    cfg.method = dataclasses.replace(
-        cfg.method, fused_uncertainty=flag_kv.get("unc", "1") != "0")
+    mcfg_rep = dict(fused_uncertainty=flag_kv.get("unc", "1") != "0")
+    if flag_kv.get("fb") == "1":
+        mcfg_rep["fused_batch"] = True
+    cfg.method = dataclasses.replace(cfg.method, **mcfg_rep)
     method = get_method("uaps")
     state, model = method.init_state(cfg, jax.random.key(0))
     tx = mbase.make_optimizer(cfg.optim)

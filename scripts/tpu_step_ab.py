@@ -43,8 +43,9 @@ def measure(variant: str) -> float:
         cmod._pick_slab = cmod._orig_pick_slab
     if "xlapool" in flags:
         # force the XLA reduce_window path regardless of shape gate
-        unet_mod.max_pool_2x2 = \
-            lambda x, layout, backend="auto": _orig_max_pool(x, layout, "xla")
+        unet_mod.max_pool_2x2 = (
+            lambda x, layout, backend="auto", pool_backend="auto":
+            _orig_max_pool(x, layout, "xla", "xla"))
     else:
         unet_mod.max_pool_2x2 = _orig_max_pool
     cfg = preset("neu", method="uaps")
@@ -54,7 +55,9 @@ def measure(variant: str) -> float:
     # measure the production default (dwnp), not a stale hardcode
     mrep = dict(compute_dtype="bfloat16", conv_backend=backend,
                 head_variant=flag_kv.get("head", "taps"),
-                dropout_backend=flag_kv.get("drop", "auto"))
+                dropout_backend=flag_kv.get("drop", "auto"),
+                pool_backend=flag_kv.get("pool", "auto"),
+                bn_backend=flag_kv.get("bn", "auto"))
     if "var" in flag_kv:
         mrep["conv_variant"] = flag_kv["var"]
     if flag_kv.get("stack") == "1":
@@ -89,5 +92,12 @@ def measure(variant: str) -> float:
 if __name__ == "__main__":
     assert jax.devices()[0].platform == "tpu"
     variants = sys.argv[1:] or ["auto@xlapool", "auto"]
-    results = {v: measure(v) for v in variants}
+    results = {}
+    for v in variants:
+        try:
+            results[v] = measure(v)
+        except Exception as e:  # noqa: BLE001 — isolate Mosaic rejections
+            print(f"{v}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            results[v] = None
     print("RESULTS", results)

@@ -1,6 +1,7 @@
 """Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
 import numpy as np
 import pytest
+import chex
 
 import jax
 import jax.numpy as jnp
@@ -534,3 +535,97 @@ class TestFusedUncertainty:
         g = jax.grad(lambda lg: jnp.mean(
             fused_uncertainty(lg, w)[0]))(logits)
         assert bool(jnp.isfinite(g).all())
+
+
+class TestPoolNCHWKernel:
+    """pallas/pool_nchw.py (fwd + bwd kernels, interpret mode) vs the XLA
+    reduce_window/select-and-scatter composition. Ties route to the FIRST
+    window max in row-major order — XLA's GE comparator and torch
+    nn.MaxPool2d semantics (utilities/UAPS_unet.py:53)."""
+
+    def _oracle(self, x):
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                     (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+
+    def test_forward_matches(self, rng):
+        from uaps_tpu.pallas.pool_nchw import max_pool_2x2_nchw
+        x = jnp.asarray(rng.standard_normal((2, 16, 32, 256)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_2x2_nchw(x, True)),
+            np.asarray(self._oracle(x)))
+
+    def test_forward_bf16(self, rng):
+        from uaps_tpu.pallas.pool_nchw import max_pool_2x2_nchw
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 128)),
+                        jnp.bfloat16)
+        out = max_pool_2x2_nchw(x, True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32),
+            np.asarray(self._oracle(x), np.float32))
+
+    def test_backward_matches_select_and_scatter(self, rng):
+        from uaps_tpu.pallas.pool_nchw import max_pool_2x2_nchw
+        # quantize to force many in-window ties
+        x = jnp.asarray(
+            np.round(rng.standard_normal((2, 16, 32, 256)) * 2) / 2,
+            jnp.float32)
+        cot = jnp.asarray(rng.standard_normal((2, 16, 16, 128)),
+                          jnp.float32)
+        gk = jax.grad(
+            lambda v: jnp.sum(max_pool_2x2_nchw(v, True) * cot))(x)
+        gx = jax.grad(lambda v: jnp.sum(self._oracle(v) * cot))(x)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(gx))
+
+    def test_backward_all_tie_routing(self):
+        from uaps_tpu.pallas.pool_nchw import max_pool_2x2_nchw
+        x = jnp.ones((1, 4, 16, 128), jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(max_pool_2x2_nchw(v, True)))(x)
+        gx = jax.grad(lambda v: jnp.sum(self._oracle(v)))(x)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(gx))
+        assert float(g[0, 0, 0, 0]) == 1.0 and float(g[0, 0, 0, 1]) == 0.0
+
+    def test_shape_gate_and_dispatch_fallback(self, rng):
+        from uaps_tpu.models.unet import max_pool_2x2
+        from uaps_tpu.pallas.pool_nchw import pool_pallas_ok
+        assert pool_pallas_ok(jnp.zeros((1, 16, 256, 256)))
+        assert not pool_pallas_ok(jnp.zeros((1, 16, 64, 64)))   # W < 128
+        assert not pool_pallas_ok(jnp.zeros((1, 16, 20, 128)))  # H % 16
+        # pool_backend="pallas" on CPU falls back to reduce_window
+        x = jnp.asarray(rng.standard_normal((1, 8, 32, 256)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_2x2(x, "nchw", "auto", "pallas")),
+            np.asarray(self._oracle(x)))
+
+
+class TestFlatBNStats:
+    """ConvBlock(bn_backend='flat') — BN moments reduced on the conv's
+    flat [B, C, H*W] view via StatsBatchNorm — must match the default
+    nn.BatchNorm path numerically (params and batch_stats trees are
+    identical by construction)."""
+
+    def test_matches_default_bn(self, rng):
+        from uaps_tpu.models.unet import ConvBlock
+        x = jnp.asarray(rng.standard_normal((2, 8, 32, 128)), jnp.float32)
+        kw = dict(features=16, dropout_rate=0.0, dtype=jnp.float32,
+                  layout="nchw")
+        ref = ConvBlock(**kw, bn_backend="auto")
+        flat = ConvBlock(**kw, bn_backend="flat")
+        v_ref = ref.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+        v_flat = flat.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+        chex.assert_trees_all_close(v_ref["params"], v_flat["params"])
+        y_ref, m_ref = ref.apply(v_ref, x, train=True,
+                                 mutable=["batch_stats"])
+        y_flat, m_flat = flat.apply(v_flat, x, train=True,
+                                    mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_flat), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        chex.assert_trees_all_close(m_flat["batch_stats"],
+                                    m_ref["batch_stats"],
+                                    rtol=2e-5, atol=2e-5)
+        # eval path uses running stats identically
+        ye_ref = ref.apply(v_ref, x, train=False)
+        ye_flat = flat.apply(v_flat, x, train=False)
+        np.testing.assert_allclose(np.asarray(ye_flat),
+                                   np.asarray(ye_ref),
+                                   rtol=2e-5, atol=2e-5)

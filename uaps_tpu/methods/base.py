@@ -107,6 +107,8 @@ def build_model(cfg):
         kwargs["nchw_levels"] = cfg.model.nchw_levels
         kwargs["head_variant"] = cfg.model.head_variant
         kwargs["dropout_backend"] = cfg.model.dropout_backend
+        kwargs["pool_backend"] = cfg.model.pool_backend
+        kwargs["bn_backend"] = cfg.model.bn_backend
     return net_factory(cfg.model.name, in_chns=cfg.data.in_channels,
                        class_num=cfg.data.num_classes, dtype=dtype, **kwargs)
 

@@ -34,18 +34,21 @@ def _register(name):
 def _unet(num_classes: int, dtype=jnp.float32, remat: bool = False,
           nchw_levels: int = 0, conv_backend: str = "auto",
           conv_variant: str = "taps", head_variant: str = "taps",
-          dropout_backend: str = "auto"):
+          dropout_backend: str = "auto",
+          pool_backend: str = "auto", bn_backend: str = "auto"):
     return UNet(num_classes=num_classes, dtype=dtype, remat=remat,
                 nchw_levels=nchw_levels, conv_backend=conv_backend,
                 conv_variant=conv_variant, head_variant=head_variant,
-                dropout_backend=dropout_backend)
+                dropout_backend=dropout_backend,
+                pool_backend=pool_backend, bn_backend=bn_backend)
 
 
 @_register("unet_uaps")
 def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
                remat: bool = False, nchw_levels: int = 0,
                conv_backend: str = "auto", conv_variant: str = "taps",
-               head_variant: str = "taps", dropout_backend: str = "auto"):
+               head_variant: str = "taps", dropout_backend: str = "auto",
+               pool_backend: str = "auto", bn_backend: str = "auto"):
     """UAPS net; n_aux in {2,3,4} per the paper's ablation
     (UAPS_train.py:139 comments). kinds cycle through the reference order."""
     base = ("feature_noise", "dropout", "feature_dropout")
@@ -56,49 +59,56 @@ def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
                             conv_backend=conv_backend,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
-                            dropout_backend=dropout_backend)
+                            dropout_backend=dropout_backend,
+                pool_backend=pool_backend, bn_backend=bn_backend)
 
 
 @_register("unet_cct")
 def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False,
               nchw_levels: int = 0, conv_backend: str = "auto",
               conv_variant: str = "taps", head_variant: str = "taps",
-              dropout_backend: str = "auto"):
+              dropout_backend: str = "auto",
+              pool_backend: str = "auto", bn_backend: str = "auto"):
     # arch-identical to unet_uaps (CCT/CCT_unet.py:261-286)
     return MultiDecoderUNet(num_classes=num_classes, dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
                             conv_backend=conv_backend,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
-                            dropout_backend=dropout_backend)
+                            dropout_backend=dropout_backend,
+                pool_backend=pool_backend, bn_backend=bn_backend)
 
 
 @_register("unet_ucc")
 def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False,
               nchw_levels: int = 0, conv_backend: str = "auto",
               conv_variant: str = "taps", head_variant: str = "taps",
-              dropout_backend: str = "auto"):
+              dropout_backend: str = "auto",
+              pool_backend: str = "auto", bn_backend: str = "auto"):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_noise",), dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
                             conv_backend=conv_backend,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
-                            dropout_backend=dropout_backend)
+                            dropout_backend=dropout_backend,
+                pool_backend=pool_backend, bn_backend=bn_backend)
 
 
 @_register("unet_ccps")
 def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
                nchw_levels: int = 0, conv_backend: str = "auto",
                conv_variant: str = "taps", head_variant: str = "taps",
-               dropout_backend: str = "auto"):
+               dropout_backend: str = "auto",
+              pool_backend: str = "auto", bn_backend: str = "auto"):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_dropout",), dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
                             conv_backend=conv_backend,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
-                            dropout_backend=dropout_backend)
+                            dropout_backend=dropout_backend,
+                pool_backend=pool_backend, bn_backend=bn_backend)
 
 
 @_register("unet_f")

@@ -255,6 +255,13 @@ class ConvBlock(nn.Module):
     # auto (fused pallas kernel on TPU, nn.Dropout elsewhere) | xla |
     # pallas; the fused kernel measured 98.7 -> 94.6 ms/step (PERF.md r2)
     dropout_backend: str = "auto"
+    # BN batch-statistics layout (NCHW only):
+    #   auto/4d  nn.BatchNorm reduces the 4-D tensor
+    #   flat     reduce the conv's flat [B, C, H*W] view instead — the
+    #            r2c profile measured the same 256px reduction at
+    #            0.10 ms flat vs 0.51 ms on the 4-D-reshaped tensor
+    #            (the flat view is the conv kernel's raw output layout)
+    bn_backend: str = "auto"
     force_bnl: bool = False   # tests: take the fused path on CPU
 
     @nn.compact
@@ -280,6 +287,13 @@ class ConvBlock(nn.Module):
                         backend=self.conv_backend,
                         variant=self.conv_variant,
                         name=conv_name)(x)
+            if nchw and self.bn_backend == "flat":
+                b, c, h, w = y.shape
+                yf = y.reshape(b, c, h * w).astype(jnp.float32)
+                return StatsBatchNorm(momentum=0.9, epsilon=1e-5,
+                                      dtype=self.dtype, name=bn_name)(
+                    y, yf.sum(axis=(0, 2)), (yf * yf).sum(axis=(0, 2)),
+                    b * h * w, train=train)
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, axis=1 if nchw else -1, name=bn_name)(y)
@@ -338,10 +352,25 @@ class ConvBlock(nn.Module):
 
 
 def max_pool_2x2(x: jax.Array, layout: str,
-                 backend: str = "auto") -> jax.Array:
+                 backend: str = "auto",
+                 pool_backend: str = "auto") -> jax.Array:
+    """2x2/stride-2 max pool. `backend` is the conv_backend (its "xla"
+    value marks the GSPMD multi-device mode where pallas_call must stay
+    out of the jitted step); `pool_backend` picks the pool impl:
+      auto     XLA reduce_window everywhere (current default)
+      pallas   NCHW Pallas fwd+bwd kernel (pallas/pool_nchw.py) — kills
+               the 256px select-and-scatter {1,0,3,2} transpose chain
+               (~3.8 ms/step in the r2c profile)
+      maskpool XLA fwd + fused elementwise mask backward (neutral A/B)
+      xla      plain reduce_window"""
     if layout == "nchw":
         h, w = x.shape[2:4]
-        if backend == "maskpool" and h % 2 == 0 and w % 2 == 0:
+        if pool_backend == "pallas" and backend != "xla":
+            from uaps_tpu.pallas.pool_nchw import (max_pool_2x2_nchw,
+                                                   pool_pallas_ok)
+            if pool_pallas_ok(x) and jax.devices()[0].platform == "tpu":
+                return max_pool_2x2_nchw(x)
+        if pool_backend == "maskpool" and h % 2 == 0 and w % 2 == 0:
             # select-and-scatter-free backward (pallas/maxpool.py):
             # same fwd, same tie semantics, backward as fused
             # elementwise mask ops. Step A/B measured it perf-NEUTRAL
@@ -371,16 +400,20 @@ class DownBlock(nn.Module):
     conv_backend: str = "auto"
     conv_variant: str = "taps"
     dropout_backend: str = "auto"
+    pool_backend: str = "auto"
+    bn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = max_pool_2x2(x, self.in_layout, self.conv_backend)
+        x = max_pool_2x2(x, self.in_layout, self.conv_backend,
+                         self.pool_backend)
         if self.in_layout != self.layout:
             x = to_nhwc(x) if self.layout == "nhwc" else to_nchw(x)
         return ConvBlock(self.features, self.dropout_rate, self.dtype,
                          self.layout, conv_backend=self.conv_backend,
                          conv_variant=self.conv_variant,
                          dropout_backend=self.dropout_backend,
+                         bn_backend=self.bn_backend,
                          )(x, train=train)
 
 
@@ -466,6 +499,7 @@ class UpBlock(nn.Module):
     x_layout: str = "nhwc"   # layout of the incoming coarse feature
     conv_backend: str = "auto"
     conv_variant: str = "taps"
+    bn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = False):
@@ -488,7 +522,8 @@ class UpBlock(nn.Module):
         x = jnp.concatenate([skip, x], axis=ch_axis)
         return ConvBlock(self.out_features, self.dropout_rate, self.dtype,
                          self.layout, conv_backend=self.conv_backend,
-                         conv_variant=self.conv_variant)(x, train=train)
+                         conv_variant=self.conv_variant,
+                         bn_backend=self.bn_backend)(x, train=train)
 
 
 def _level_layout(level: int, nchw_levels: int) -> str:
@@ -509,6 +544,8 @@ class Encoder(nn.Module):
     conv_backend: str = "auto"
     conv_variant: str = "taps"
     dropout_backend: str = "auto"
+    pool_backend: str = "auto"
+    bn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -521,6 +558,7 @@ class Encoder(nn.Module):
                            conv_backend=self.conv_backend,
                            conv_variant=self.conv_variant,
                            dropout_backend=self.dropout_backend,
+                           bn_backend=self.bn_backend,
                            name="in_conv")(x, train=train)]
         for i in range(1, 5):
             feats.append(DownBlock(
@@ -528,6 +566,8 @@ class Encoder(nn.Module):
                 conv_backend=self.conv_backend,
                 conv_variant=self.conv_variant,
                 dropout_backend=self.dropout_backend,
+                pool_backend=self.pool_backend,
+                bn_backend=self.bn_backend,
                 name=f"down{i}")(feats[-1], train=train))
         return feats
 
@@ -546,6 +586,7 @@ class Decoder(nn.Module):
     conv_backend: str = "auto"
     conv_variant: str = "taps"
     head_variant: str = "taps"   # out_conv: taps|im2col|dhdw|xla
+    bn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
@@ -560,6 +601,7 @@ class Decoder(nn.Module):
                         self.dtype, lay[out_level], lay[out_level + 1],
                         conv_backend=self.conv_backend,
                         conv_variant=self.conv_variant,
+                        bn_backend=self.bn_backend,
                         name=f"up{j + 1}")(x, skip, train=train)
         if lay[0] == "nchw":
             if self.head_variant == "xla":
@@ -675,6 +717,8 @@ class UNet(nn.Module):
     conv_variant: str = "taps"
     head_variant: str = "taps"
     dropout_backend: str = "auto"
+    pool_backend: str = "auto"
+    bn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -682,10 +726,13 @@ class UNet(nn.Module):
         feats = enc_cls(self.features, self.dropout, self.dtype,
                         self.nchw_levels, self.conv_backend,
                         self.conv_variant, self.dropout_backend,
+                        pool_backend=self.pool_backend,
+                        bn_backend=self.bn_backend,
                         name="encoder")(x, train)
         return dec_cls(self.num_classes, self.features, self.bilinear,
                        self.dtype, self.nchw_levels, self.conv_backend,
                        self.conv_variant, self.head_variant,
+                       bn_backend=self.bn_backend,
                        name="decoder")(feats, train)
 
 
@@ -720,20 +767,26 @@ class MultiDecoderUNet(nn.Module):
     conv_variant: str = "taps"
     head_variant: str = "taps"
     dropout_backend: str = "auto"
+    pool_backend: str = "auto"
+    bn_backend: str = "auto"
 
     def setup(self):
         enc_cls, dec_cls = _maybe_remat(self.remat)
         self.encoder = enc_cls(self.features, self.dropout, self.dtype,
                                self.nchw_levels, self.conv_backend,
-                               self.conv_variant, self.dropout_backend)
+                               self.conv_variant, self.dropout_backend,
+                               pool_backend=self.pool_backend,
+                               bn_backend=self.bn_backend)
         self.main_decoder = dec_cls(self.num_classes, self.features,
                                     self.bilinear, self.dtype,
                                     self.nchw_levels, self.conv_backend,
-                                    self.conv_variant, self.head_variant)
+                                    self.conv_variant, self.head_variant,
+                                    bn_backend=self.bn_backend)
         self.aux_decoders = [
             dec_cls(self.num_classes, self.features, self.bilinear,
                     self.dtype, self.nchw_levels, self.conv_backend,
                     self.conv_variant, self.head_variant,
+                    bn_backend=self.bn_backend,
                     name=f"aux_decoder{i + 1}")
             for i in range(len(self.perturbations))
         ]
@@ -792,7 +845,8 @@ def stacked_decoder_apply(model: "MultiDecoderUNet", params, batch_stats,
                       *[batch_stats[n] for n in names])
     dec = Decoder(model.num_classes, model.features, model.bilinear,
                   model.dtype, model.nchw_levels, model.conv_backend,
-                  model.conv_variant, model.head_variant)
+                  model.conv_variant, model.head_variant,
+                  bn_backend=model.bn_backend)
 
     def one(pp, bb, feats):
         out, mut = dec.apply({"params": pp, "batch_stats": bb}, feats,

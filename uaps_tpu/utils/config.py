@@ -82,6 +82,16 @@ class ModelConfig:
     # threefry mask + select) | "pallas" (force the fused kernel: on-core
     # PRNG, mask-regenerating VJP — no stored mask residual)
     dropout_backend: str = "auto"
+    # NCHW 2x2 max-pool impl: "auto" (XLA reduce_window) | "pallas"
+    # (pallas/pool_nchw.py fwd+bwd kernel — targets the ~3.8 ms/step
+    # select-and-scatter transpose chain the r2c profile found) |
+    # "maskpool" (XLA fwd + elementwise mask bwd, measured neutral) |
+    # "xla"
+    pool_backend: str = "auto"
+    # NCHW BatchNorm batch-stats layout: "auto"/"4d" (nn.BatchNorm on
+    # the 4-D tensor) | "flat" (reduce the conv's flat [B,C,H*W] view —
+    # r2c profile: 0.10 vs 0.51 ms for the same 256px reduction)
+    bn_backend: str = "auto"
 
 
 @dataclasses.dataclass

@@ -483,3 +483,59 @@ class TestEarlyStopping:
         t.validate = fake_validate
         t.run()
         assert len(calls) == 4          # patience 0 -> all epochs run
+
+
+@pytest.mark.slow
+class TestMultiChipConvergence:
+    """Multi-STEP multi-chip quality equivalence (VERDICT r2 #5).
+
+    The 1-step shard_map-vs-GSPMD check above (rtol 2e-2) says nothing
+    about whether the per-device-BN fork (shard_map default, documented
+    in docs/ARCHITECTURE.md) converges to the same quality as sync-BN
+    GSPMD or the 1-device step. Here: N full uaps steps on identical
+    batch sequences in all three modes, then val mDice on a fixed pool —
+    the only multi-chip correctness evidence this environment can
+    produce beyond the dryrun."""
+
+    N_STEPS = 120
+
+    def _trajectory(self, mode):
+        import dataclasses
+        from uaps_tpu.parallel.shardmap_step import make_sharded_train_step
+        cfg = tiny_cfg("uaps")
+        cfg.data = dataclasses.replace(cfg.data, image_size=(32, 32),
+                                       batch_size=8)
+        method = get_method("uaps")
+        state, model = method.init_state(cfg, jax.random.key(0))
+        tx = mbase.make_optimizer(cfg.optim)
+        if mode == "shard_map":
+            mesh = make_mesh(8)
+            step = make_sharded_train_step(method, cfg, model, tx, mesh)
+        else:
+            mesh = make_mesh(8 if mode == "gspmd" else 1)
+            step = jax.jit(method.make_train_step(cfg, model, tx))
+        state = replicate_state(state, mesh)
+        data = SyntheticDefects(cfg.data, seed=7, labeled_pool=24)
+        stream = data.train_iter()
+        for _ in range(self.N_STEPS):
+            state, metrics = step(state, shard_batch(next(stream), mesh))
+        assert np.isfinite(float(metrics["loss"]))
+        eval_step = mbase.make_eval_step(cfg, model)
+        dices = [float(jax.device_get(eval_step(
+            state.params, state.batch_stats, b))["val_mdice"])
+            for b in data.val_iter(num_batches=3)]
+        return float(np.mean(dices))
+
+    def test_modes_converge_to_equivalent_quality(self, devices):
+        d1 = self._trajectory("single")
+        dsm = self._trajectory("shard_map")
+        dgs = self._trajectory("gspmd")
+        print(f"\nval mDice after {self.N_STEPS} steps: "
+              f"1-dev {d1:.4f}, shard_map {dsm:.4f}, gspmd {dgs:.4f}")
+        # all three must have actually learned...
+        for d in (d1, dsm, dgs):
+            assert d > 0.45, (d1, dsm, dgs)
+        # ...and agree within trajectory noise (different BN semantics +
+        # decorrelated per-device dropout draws)
+        assert abs(dsm - d1) < 0.08, (d1, dsm)
+        assert abs(dgs - d1) < 0.08, (d1, dgs)

@@ -27,6 +27,15 @@ NUM_CLASSES = 4
 TIMED_STEPS = 20
 WARMUP_STEPS = 3
 
+# Fair-baseline floor (imgs/s). This bench host exposes a SINGLE CPU
+# (os.sched_getaffinity -> {0}), so any torch-CPU number measured here is
+# single-threaded and would inflate vs_baseline ~3.5x (VERDICT r2 "what's
+# weak" #1: the honest multithreaded torch-CPU step measured in round 1 on
+# an 8-thread host was 0.55 imgs/s; the 1-thread measurement was 0.19).
+# vs_baseline therefore divides by max(measured, FLOOR): a weak host can
+# never make the ratio look better than the fair multicore baseline.
+FAIR_TORCH_FLOOR = 0.55
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -253,7 +262,7 @@ def measure_torch_cpu() -> float:
         loss.backward()
         opt.step()
 
-    n_timed = int(os.environ.get("UAPS_BENCH_TORCH_STEPS", "3"))
+    n_timed = int(os.environ.get("UAPS_BENCH_TORCH_STEPS", "5"))
     step()  # warmup
     t0 = time.perf_counter()
     for _ in range(n_timed):
@@ -264,7 +273,8 @@ def measure_torch_cpu() -> float:
         f"{imgs_per_sec:.2f} imgs/s")
     with open(BASELINE_CACHE, "w") as f:
         json.dump({"imgs_per_sec": imgs_per_sec, "batch": BATCH,
-                   "image": list(IMAGE), "threads": torch.get_num_threads()},
+                   "image": list(IMAGE), "threads": torch.get_num_threads(),
+                   "cpus": len(os.sched_getaffinity(0)), "steps": n_timed},
                   f)
     return imgs_per_sec
 
@@ -276,7 +286,13 @@ def main():
     except Exception as e:  # torch baseline is best-effort
         log(f"torch baseline failed: {e!r}")
         torch_ips = None
-    vs = round(jax_ips / torch_ips, 3) if torch_ips else None
+    # divide by the FAIR baseline: never let a single-CPU host's slow
+    # torch measurement inflate the ratio (see FAIR_TORCH_FLOOR above)
+    baseline = max(torch_ips or 0.0, FAIR_TORCH_FLOOR)
+    if torch_ips is not None and torch_ips < FAIR_TORCH_FLOOR:
+        log(f"measured torch-cpu {torch_ips:.3f} < fair multicore floor "
+            f"{FAIR_TORCH_FLOOR}; using the floor for vs_baseline")
+    vs = round(jax_ips / baseline, 3) if baseline else None
     print(json.dumps({
         "metric": "uaps_train_imgs_per_sec_per_chip",
         "value": round(jax_ips, 2),

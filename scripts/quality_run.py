@@ -25,6 +25,12 @@ import sys
 import time
 
 import jax
+
+if "--smoke" in sys.argv:
+    # CPU sanity mode: must flip platforms BEFORE first device use — the
+    # axon PJRT plugin overrides the JAX_PLATFORMS env var (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
@@ -37,24 +43,28 @@ LABELED, UNLABELED, VAL, TEST = 120, 1080, 176, 240
 
 
 def main():
-    method = sys.argv[1] if len(sys.argv) > 1 else "uaps"
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 800
-    out = sys.argv[3] if len(sys.argv) > 3 else f"runs/quality_{method}"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    smoke = "--smoke" in sys.argv   # tiny CPU sanity pass of this script
+    method = args[0] if args else "uaps"
+    epochs = int(args[1]) if len(args) > 1 else (3 if smoke else 800)
+    out = args[2] if len(args) > 2 else f"runs/quality_{method}"
 
+    size = (64, 64) if smoke else (256, 256)
+    pools = (24, 64, 32, 32) if smoke else (LABELED, UNLABELED, VAL, TEST)
     cfg = preset("synthetic", method=method)
-    cfg.data = dataclasses.replace(cfg.data, image_size=(256, 256),
+    cfg.data = dataclasses.replace(cfg.data, image_size=size,
                                    batch_size=16)
     cfg.model = dataclasses.replace(cfg.model, compute_dtype="bfloat16")
     # faithful schedule: 800x60 steps, ramps + plateau in-regime
-    cfg.run = dataclasses.replace(cfg.run, epochs=epochs, iter_per_epoch=60,
+    cfg.run = dataclasses.replace(cfg.run, epochs=epochs,
+                                  iter_per_epoch=6 if smoke else 60,
                                   out_dir=out, seed=1337)
 
     t0 = time.time()
-    print(f"generating pools ({LABELED}+{UNLABELED}+{VAL}+{TEST} imgs "
-          f"@256x256)...", flush=True)
+    print(f"generating pools ({pools} imgs @{size})...", flush=True)
     data = SyntheticDefects(cfg.data, seed=cfg.run.seed,
-                            labeled_pool=LABELED, unlabeled_pool=UNLABELED,
-                            val_pool=VAL, test_pool=TEST)
+                            labeled_pool=pools[0], unlabeled_pool=pools[1],
+                            val_pool=pools[2], test_pool=pools[3])
     print(f"pools ready in {time.time() - t0:.0f}s", flush=True)
 
     trainer = Trainer(cfg)

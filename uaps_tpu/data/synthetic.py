@@ -110,31 +110,60 @@ class SyntheticDefects:
     with steps-per-epoch, which this implements for the synthetic case.
     """
 
-    def __init__(self, cfg, seed: int = 0, labeled_pool: int = 0):
-        """labeled_pool > 0 fixes the labeled stream to that many
+    def __init__(self, cfg, seed: int = 0, labeled_pool: int = 0,
+                 unlabeled_pool: int = 0, val_pool: int = 0,
+                 test_pool: int = 0):
+        """``labeled_pool > 0`` fixes the labeled stream to that many
         pre-generated images (sampled with replacement), emulating the
         low-label SSL regime: the unlabeled stream stays infinite/fresh,
         so semi-supervised methods can demonstrably beat the supervised
-        baseline on held-out data."""
+        baseline on held-out data.
+
+        ``unlabeled_pool``/``val_pool``/``test_pool > 0`` likewise pin
+        those splits to fixed pre-generated pools, making the fixture a
+        faithful analog of the reference's finite dataset splits
+        (utilities/dataloaders.py:52-53): val/test sweeps then visit each
+        pool image exactly once per epoch, like a real val_loader, which
+        the full-length quality runs (scripts/quality_run.py) and
+        ablations require — a fresh-random val set would make "best val
+        mDice" meaningless noise."""
         self.cfg = cfg
         self.seed = seed
         self.labeled_pool = labeled_pool
-        self._pool = None
-        if labeled_pool > 0:
-            rng = np.random.default_rng(seed + 7)
-            d = cfg
-            pool = synthetic_batch(rng, labeled_pool, d.image_size,
-                                   d.num_classes, d.in_channels)
-            self._pool = pool
+        self.unlabeled_pool = unlabeled_pool
+        self._pool = self._fixed(labeled_pool, 7)
+        self._upool = self._fixed(unlabeled_pool, 11)
+        self._val = self._fixed(val_pool, 100)
+        self._test = self._fixed(test_pool, 200)
+
+    def _fixed(self, n: int, salt: int):
+        """Pre-generate an n-image pool (chunked so the thread pool and
+        peak temp memory stay bounded at 256²-scale pool sizes)."""
+        if n <= 0:
+            return None
+        rng = np.random.default_rng(self.seed + salt)
+        d = self.cfg
+        chunks = []
+        left = n
+        while left > 0:
+            k = min(64, left)
+            chunks.append(synthetic_batch(rng, k, d.image_size,
+                                          d.num_classes, d.in_channels))
+            left -= k
+        return {k: np.concatenate([c[k] for c in chunks])
+                for k in chunks[0]}
 
     def _stream(self, salt: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed + salt)
         d = self.cfg
-        if salt == 1 and self._pool is not None:
+        pool = (self._pool if salt == 1
+                else self._upool if salt == 2 else None)
+        if pool is not None:
+            size = len(pool["image"])
             while True:
-                idx = rng.integers(0, self.labeled_pool, d.batch_size)
-                yield {"image": self._pool["image"][idx],
-                       "label": self._pool["label"][idx]}
+                idx = rng.integers(0, size, d.batch_size)
+                yield {"image": pool["image"][idx],
+                       "label": pool["label"][idx]}
         while True:
             yield synthetic_batch(
                 rng, d.batch_size, d.image_size, d.num_classes,
@@ -159,16 +188,30 @@ class SyntheticDefects:
                 0, 0.1, batch["uimage"].shape).astype(np.float32)
             yield {**batch, "uimage_strong": strong}
 
+    @staticmethod
+    def _sweep(pool, batch_size: int):
+        """One full pass over a fixed pool (drop_last=False, like the
+        reference's val/test loaders)."""
+        n = len(pool["image"])
+        for i in range(0, n, batch_size):
+            yield {k: v[i:i + batch_size] for k, v in pool.items()}
+
     def val_iter(self, num_batches: int = 4):
-        rng = np.random.default_rng(self.seed + 100)
         d = self.cfg
+        if self._val is not None:
+            yield from self._sweep(self._val, d.batch_size)
+            return
+        rng = np.random.default_rng(self.seed + 100)
         for _ in range(num_batches):
             yield synthetic_batch(rng, d.batch_size, d.image_size,
                                   d.num_classes, d.in_channels)
 
     def test_iter(self, num_batches: int = 8, batch_size=None):
-        rng = np.random.default_rng(self.seed + 200)
         d = self.cfg
+        if self._test is not None:
+            yield from self._sweep(self._test, batch_size or d.batch_size)
+            return
+        rng = np.random.default_rng(self.seed + 200)
         for _ in range(num_batches):
             yield synthetic_batch(rng, batch_size or d.batch_size,
                                   d.image_size, d.num_classes,

@@ -102,7 +102,13 @@ def make_train_step(cfg, model, tx, axis_name=None):
 
             # Dirichlet (or averaged) pseudo-label mix weights — ONE
             # global draw per step (reference :251)
-            if mcfg.dynamic_mixing:
+            if "mix_w" in batch:
+                # host-supplied draw: the torch-trajectory equivalence
+                # test (tests/test_torch_trajectory.py) feeds the SAME
+                # Dirichlet weights to the reference recipe and to this
+                # step so the two trajectories stay comparable
+                w = batch["mix_w"]
+            elif mcfg.dynamic_mixing:
                 w = jax.random.dirichlet(mix_key, jnp.ones((n_dec,)))
             else:
                 w = jnp.full((n_dec,), 1.0 / n_dec)

@@ -116,12 +116,17 @@ def _bwd_kernel(x_ref, g_ref, o_ref, *, c, rows, width):
 
 
 def pool_pallas_ok(x: jax.Array) -> bool:
-    """Shape gate: NCHW 4-D, lane-tile-aligned W, even tiled H."""
+    """Shape gate: NCHW 4-D, lane-tile-aligned W, even tiled H, and the
+    per-block VMEM footprint bounded — the backward kernel keeps the x/g/dx
+    blocks plus ~6 f32 intermediates (z, rm, cm, pm, ge, masks) resident,
+    so the [c, rows, w] block itself must stay small (2 MB block ≈ <16 MB
+    scoped VMEM worst case) or oversized shapes would fail at compile/run
+    time instead of falling back to reduce_window (ADVICE r2)."""
     if x.ndim != 4:
         return False
     _, c, h, w = x.shape
     return (h >= 16 and h % 16 == 0 and w >= 128 and w % 128 == 0
-            and c <= 64)
+            and c <= 64 and c * _pick_rows(h) * w * 4 <= (2 << 20))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -84,13 +84,17 @@ class ModelConfig:
     dropout_backend: str = "auto"
     # NCHW 2x2 max-pool impl: "auto" (XLA reduce_window) | "pallas"
     # (pallas/pool_nchw.py fwd+bwd kernel — targets the ~3.8 ms/step
-    # select-and-scatter transpose chain the r2c profile found) |
-    # "maskpool" (XLA fwd + elementwise mask bwd, measured neutral) |
-    # "xla"
+    # select-and-scatter transpose chain the r2c profile found;
+    # WARNING: r3a on-chip A/B — this toolchain's Mosaic REJECTS the
+    # kernel, tpu_compile_helper exits 1; works in interpret mode only,
+    # docs/PERF.md "Round 3a") | "maskpool" (XLA fwd + elementwise mask
+    # bwd, measured neutral) | "xla"
     pool_backend: str = "auto"
     # NCHW BatchNorm batch-stats layout: "auto"/"4d" (nn.BatchNorm on
     # the 4-D tensor) | "flat" (reduce the conv's flat [B,C,H*W] view —
-    # r2c profile: 0.10 vs 0.51 ms for the same 256px reduction)
+    # r2c profile said 0.10 vs 0.51 ms per reduction, but the full-step
+    # A/B LOSES 2.5 ms: the flat view forces its own reshape/copy chain;
+    # kept as an ablation knob only, docs/PERF.md "Round 3a")
     bn_backend: str = "auto"
 
 

@@ -319,6 +319,35 @@ class TestConv3x3Kernels:
                 np.asarray(conv3x3_nchw_wgrad(x, g, True, variant)), ref_w,
                 rtol=1e-4, atol=1e-4)
 
+    def test_wgrad_variant_override_matches(self, rng, monkeypatch):
+        """UAPS_WGRAD_VARIANT decouples the wgrad kernel from the forward
+        variant (the prepadded residual's W pad differs between dwnp and
+        the rest, so the bwd re-pads/slices); every override must produce
+        the same dW through the full custom-VJP chain."""
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+
+        def grads(fwd_variant):
+            return jax.grad(
+                lambda xx, ww: jnp.sum(
+                    conv3x3_fast_nchw(xx, ww, True, fwd_variant) ** 2),
+                argnums=(0, 1))(x, w)
+
+        monkeypatch.delenv("UAPS_WGRAD_VARIANT", raising=False)
+        ref_dx, ref_dw = grads("dwnp")
+        for override in ("taps", "im2col", "dhdw", "dwnp"):
+            monkeypatch.setenv("UAPS_WGRAD_VARIANT", override)
+            for fwd in ("dwnp", "taps"):   # both wpad classes
+                dx, dw = grads(fwd)
+                np.testing.assert_allclose(np.asarray(dx),
+                                           np.asarray(ref_dx),
+                                           rtol=1e-4, atol=1e-4)
+                np.testing.assert_allclose(np.asarray(dw),
+                                           np.asarray(ref_dw),
+                                           rtol=1e-4, atol=1e-4)
+
     def test_dwout_gradients_match_taps(self, rng):
         """dwout folds dw shifts into masked f32 lane-rolls (+flat
         output): the full custom-VJP chain must agree with taps."""

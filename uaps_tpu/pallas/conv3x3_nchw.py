@@ -549,6 +549,16 @@ def _vjp_fwd(x, w, interpret, variant):
     return conv3x3_fast(x, w, interpret, variant), (x, w)
 
 
+def _wgrad_variant(fwd_variant: str) -> str:
+    """The wgrad kernel variant defaults to the forward's, but is a
+    DIFFERENT contraction ([9C or 3Co rows] x [N=slab*W]) whose best
+    tiling need not match the forward's — UAPS_WGRAD_VARIANT overrides it
+    per-process for step-level A/Bs (VERDICT r2 #4; scripts/
+    tpu_session_r3b.sh)."""
+    import os
+    return os.environ.get("UAPS_WGRAD_VARIANT", "") or fwd_variant
+
+
 def _vjp_bwd(interpret, variant, res, g):
     """Backward with an optional shape gate. Isolated conv-pair chains
     suggested routing the cin>32 backward to XLA, but the chains were a
@@ -566,7 +576,8 @@ def _vjp_bwd(interpret, variant, res, g):
         dx = conv3x3_fast(g, w_rot, interpret, variant)
         xc = jnp.transpose(x, (0, 3, 1, 2))
         gc = jnp.transpose(g, (0, 3, 1, 2))
-        dw = conv3x3_nchw_wgrad(xc, gc, interpret, variant).astype(w.dtype)
+        dw = conv3x3_nchw_wgrad(xc, gc, interpret,
+                                _wgrad_variant(variant)).astype(w.dtype)
     else:
         dx = _xla_conv_nhwc(g, w_rot.astype(g.dtype))
         _, wvjp = jax.vjp(lambda ww: _xla_conv_nhwc(x, ww), w)
@@ -617,7 +628,18 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
     max_cin = int(os.environ.get("UAPS_CONV_BWD_PALLAS_MAX_CIN", "9999"))
     if cin <= max_cin or interpret:
         dx = conv3x3_fast_nchw(g, w_rot, interpret, variant)
-        dw = conv3x3_nchw_wgrad(xp, g, interpret, variant,
+        wgv = _wgrad_variant(variant)
+        xw = xp
+        if wgv != variant:
+            # the residual was padded for the FORWARD variant's wpad;
+            # adjust the W pad to what the override's kernel expects
+            fw = 0 if variant == "dwnp" else 1
+            ww = 0 if wgv == "dwnp" else 1
+            if ww > fw:
+                xw = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (1, 1)))
+            elif ww < fw:
+                xw = xp[:, :, :, 1:-1]
+        dw = conv3x3_nchw_wgrad(xw, g, interpret, wgv,
                                 prepadded=True).astype(w.dtype)
     else:
         x = xp[:, :, 4:-4] if variant == "dwnp" else xp[:, :, 4:-4, 1:-1]

@@ -148,7 +148,12 @@ def measure_torch_cpu() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        if cached.get("batch") == BATCH and cached.get("image") == list(IMAGE):
+        # never reuse a measurement taken with fewer threads than the
+        # host has cores (VERDICT r2: a stale 1-thread cache inflated
+        # vs_baseline 3.5x and kept re-corrupting every future run)
+        if (cached.get("batch") == BATCH
+                and cached.get("image") == list(IMAGE)
+                and cached.get("threads", 0) >= (os.cpu_count() or 1)):
             log(f"torch baseline (cached): {cached['imgs_per_sec']:.2f}")
             return cached["imgs_per_sec"]
 

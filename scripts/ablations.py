@@ -41,10 +41,16 @@ def run_leg(method: str, labeled: int, n_aux: int = 3) -> dict:
                                     n_aux=n_aux)
     cfg.run = dataclasses.replace(
         cfg.run, epochs=EPOCHS, iter_per_epoch=ITERS, seed=1337,
+        device_pools=True,
         out_dir=f"runs/abl_{method}_l{labeled}_a{n_aux}")
-    t = Trainer(cfg)
-    t.data = SyntheticDefects(cfg.data, seed=cfg.run.seed,
-                              labeled_pool=labeled, val_pool=64)
+    # fixed train pool of TRAIN_POOL images split labeled/unlabeled like
+    # the reference's sklearn split; HARD rendering so the labeled-ratio
+    # axis actually differentiates (easy mode saturates at any ratio)
+    data = SyntheticDefects(cfg.data, seed=cfg.run.seed, hard=True,
+                            labeled_pool=labeled,
+                            unlabeled_pool=TRAIN_POOL - labeled,
+                            val_pool=64)
+    t = Trainer(cfg, data=data)
     best = t.run()
 
     # full-forward latency (all decoders; the decoder-effect figure's

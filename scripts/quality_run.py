@@ -55,20 +55,22 @@ def main():
     cfg.data = dataclasses.replace(cfg.data, image_size=size,
                                    batch_size=16)
     cfg.model = dataclasses.replace(cfg.model, compute_dtype="bfloat16")
-    # faithful schedule: 800x60 steps, ramps + plateau in-regime
+    # faithful schedule: 800x60 steps, ramps + plateau in-regime.
+    # device_pools: the relay's upload bandwidth caps host-fed 256²
+    # training at ~10 imgs/s; resident pools run the epoch on-device.
     cfg.run = dataclasses.replace(cfg.run, epochs=epochs,
                                   iter_per_epoch=6 if smoke else 60,
-                                  out_dir=out, seed=1337)
+                                  out_dir=out, seed=1337,
+                                  device_pools=True)
 
     t0 = time.time()
-    print(f"generating pools ({pools} imgs @{size})...", flush=True)
-    data = SyntheticDefects(cfg.data, seed=cfg.run.seed,
+    print(f"generating HARD pools ({pools} imgs @{size})...", flush=True)
+    data = SyntheticDefects(cfg.data, seed=cfg.run.seed, hard=True,
                             labeled_pool=pools[0], unlabeled_pool=pools[1],
                             val_pool=pools[2], test_pool=pools[3])
     print(f"pools ready in {time.time() - t0:.0f}s", flush=True)
 
-    trainer = Trainer(cfg)
-    trainer.data = data
+    trainer = Trainer(cfg, data=data)
     best = trainer.run(resume=("--resume" in sys.argv))
 
     # held-out test sweep with the BEST checkpoint (the keep-best gate

@@ -27,15 +27,17 @@ def _grid(h: int, w: int):
 
 
 def _defect_mask(rng: np.random.Generator, h: int, w: int,
-                 num_classes: int, max_blobs: int = 4) -> np.ndarray:
+                 num_classes: int, max_blobs: int = 4,
+                 hard: bool = False) -> np.ndarray:
     """Label map with 1..max_blobs elliptical blobs of classes 1..C-1."""
     mask = np.zeros((h, w), np.int32)
     yy, xx = _grid(h, w)
+    r_lo, r_hi = (0.025, 0.11) if hard else (0.04, 0.22)
     for _ in range(rng.integers(1, max_blobs + 1)):
         c = int(rng.integers(1, num_classes))
         cy, cx = rng.uniform(0.15, 0.85) * h, rng.uniform(0.15, 0.85) * w
-        ry = rng.uniform(0.04, 0.22) * h
-        rx = rng.uniform(0.04, 0.22) * w
+        ry = rng.uniform(r_lo, r_hi) * h
+        rx = rng.uniform(r_lo, r_hi) * w
         theta = rng.uniform(0, np.pi)
         ct, st = np.cos(theta), np.sin(theta)
         u = (xx - cx) * ct + (yy - cy) * st
@@ -46,12 +48,21 @@ def _defect_mask(rng: np.random.Generator, h: int, w: int,
 
 
 def _render(rng: np.random.Generator, mask: np.ndarray,
-            in_channels: int) -> np.ndarray:
-    """Image whose per-class appearance is separable but noisy."""
+            in_channels: int, hard: bool = False) -> np.ndarray:
+    """Image whose per-class appearance is separable but noisy.
+
+    ``hard=True`` is the production-shape quality-run regime: the default
+    rendering is so separable that 120 labels at 256² saturate val mDice
+    ~0.97 within 3 epochs (measured — useless for comparing SSL methods).
+    Hard mode overlaps the class signatures, shrinks their mean shifts,
+    adds strong per-image gain/bias jitter and heavy pixel/texture noise,
+    so a 10%-labeled supervised baseline demonstrably UNDERfits and the
+    unlabeled pool carries real information."""
     h, w = mask.shape
     base = rng.normal(0.45, 0.08, (h, w))
     # low-frequency texture: smoothed noise via strided upsample
-    coarse = rng.normal(0, 0.1, (h // 8 + 1, w // 8 + 1))
+    tex_amp = 0.18 if hard else 0.1
+    coarse = rng.normal(0, tex_amp, (h // 8 + 1, w // 8 + 1))
     tex = np.kron(coarse, np.ones((8, 8)))[:h, :w]
     img = base + tex
     num_classes = int(mask.max()) + 1 if mask.max() > 0 else 2
@@ -59,11 +70,25 @@ def _render(rng: np.random.Generator, mask: np.ndarray,
         sel = mask == c
         if not sel.any():
             continue
-        # class signature: shifted mean + class-dependent stripe pattern
-        shift = 0.25 + 0.15 * c
-        stripes = 0.08 * np.sin(_grid(h, w)[c % 2] * (0.5 + 0.35 * c))
-        img = np.where(sel, base - 0.5 + shift + stripes, img)
-    img = np.clip(img + rng.normal(0, 0.03, (h, w)), 0, 1)
+        if hard:
+            # weak, overlapping signatures: small mean shifts, close
+            # stripe frequencies, and the defect keeps the plate texture
+            shift = 0.05 + 0.045 * c
+            stripes = 0.035 * np.sin(
+                _grid(h, w)[c % 2] * (1.1 + 0.18 * c)
+                + rng.uniform(0, 2 * np.pi))
+            img = np.where(sel, img + shift + stripes, img)
+        else:
+            # class signature: shifted mean + class-dependent stripes
+            shift = 0.25 + 0.15 * c
+            stripes = 0.08 * np.sin(_grid(h, w)[c % 2] * (0.5 + 0.35 * c))
+            img = np.where(sel, base - 0.5 + shift + stripes, img)
+    if hard:
+        # per-image photometric jitter decorrelates absolute intensity
+        # from class identity (a tiny labeled pool can't average it out)
+        img = img * rng.uniform(0.8, 1.2) + rng.uniform(-0.12, 0.12)
+    noise = 0.10 if hard else 0.03
+    img = np.clip(img + rng.normal(0, noise, (h, w)), 0, 1)
     chans = [img]
     for i in range(1, in_channels):
         chans.append(np.clip(img * (1.0 - 0.1 * i) +
@@ -79,6 +104,7 @@ def synthetic_batch(
     in_channels: int = 3,
     mean: Optional[Tuple[float, ...]] = None,
     std: Optional[Tuple[float, ...]] = None,
+    hard: bool = False,
 ) -> Dict[str, np.ndarray]:
     h, w = image_size
     # per-image generation in a thread pool (numpy releases the GIL for
@@ -88,8 +114,8 @@ def synthetic_batch(
 
     def gen(s):
         r = np.random.default_rng(int(s))
-        m = _defect_mask(r, h, w, num_classes)
-        return _render(r, m, in_channels), m
+        m = _defect_mask(r, h, w, num_classes, hard=hard)
+        return _render(r, m, in_channels, hard=hard), m
 
     with ThreadPoolExecutor(min(8, batch_size)) as pool:
         results = list(pool.map(gen, seeds))
@@ -112,7 +138,7 @@ class SyntheticDefects:
 
     def __init__(self, cfg, seed: int = 0, labeled_pool: int = 0,
                  unlabeled_pool: int = 0, val_pool: int = 0,
-                 test_pool: int = 0):
+                 test_pool: int = 0, hard: bool = False):
         """``labeled_pool > 0`` fixes the labeled stream to that many
         pre-generated images (sampled with replacement), emulating the
         low-label SSL regime: the unlabeled stream stays infinite/fresh,
@@ -129,6 +155,7 @@ class SyntheticDefects:
         mDice" meaningless noise."""
         self.cfg = cfg
         self.seed = seed
+        self.hard = hard
         self.labeled_pool = labeled_pool
         self.unlabeled_pool = unlabeled_pool
         self._pool = self._fixed(labeled_pool, 7)
@@ -148,7 +175,8 @@ class SyntheticDefects:
         while left > 0:
             k = min(64, left)
             chunks.append(synthetic_batch(rng, k, d.image_size,
-                                          d.num_classes, d.in_channels))
+                                          d.num_classes, d.in_channels,
+                                          hard=self.hard))
             left -= k
         return {k: np.concatenate([c[k] for c in chunks])
                 for k in chunks[0]}
@@ -167,7 +195,7 @@ class SyntheticDefects:
         while True:
             yield synthetic_batch(
                 rng, d.batch_size, d.image_size, d.num_classes,
-                d.in_channels)
+                d.in_channels, hard=self.hard)
 
     def train_iter(self):
         """Yields {'image','label','uimage','ulabel'} merged two-stream
@@ -204,7 +232,8 @@ class SyntheticDefects:
         rng = np.random.default_rng(self.seed + 100)
         for _ in range(num_batches):
             yield synthetic_batch(rng, d.batch_size, d.image_size,
-                                  d.num_classes, d.in_channels)
+                                  d.num_classes, d.in_channels,
+                                  hard=self.hard)
 
     def test_iter(self, num_batches: int = 8, batch_size=None):
         d = self.cfg
@@ -215,4 +244,4 @@ class SyntheticDefects:
         for _ in range(num_batches):
             yield synthetic_batch(rng, batch_size or d.batch_size,
                                   d.image_size, d.num_classes,
-                                  d.in_channels)
+                                  d.in_channels, hard=self.hard)

@@ -60,7 +60,8 @@ def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
-                pool_backend=pool_backend, bn_backend=bn_backend)
+                            pool_backend=pool_backend,
+                            bn_backend=bn_backend)
 
 
 @_register("unet_cct")
@@ -76,7 +77,8 @@ def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
-                pool_backend=pool_backend, bn_backend=bn_backend)
+                            pool_backend=pool_backend,
+                            bn_backend=bn_backend)
 
 
 @_register("unet_ucc")
@@ -92,7 +94,8 @@ def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
-                pool_backend=pool_backend, bn_backend=bn_backend)
+                            pool_backend=pool_backend,
+                            bn_backend=bn_backend)
 
 
 @_register("unet_ccps")
@@ -100,7 +103,7 @@ def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
                nchw_levels: int = 0, conv_backend: str = "auto",
                conv_variant: str = "taps", head_variant: str = "taps",
                dropout_backend: str = "auto",
-              pool_backend: str = "auto", bn_backend: str = "auto"):
+               pool_backend: str = "auto", bn_backend: str = "auto"):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_dropout",), dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
@@ -108,7 +111,8 @@ def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
                             conv_variant=conv_variant,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
-                pool_backend=pool_backend, bn_backend=bn_backend)
+                            pool_backend=pool_backend,
+                            bn_backend=bn_backend)
 
 
 @_register("unet_f")

@@ -72,7 +72,8 @@ def _train_stream(data, method_name: str) -> Iterator[Dict]:
 
 
 class Trainer:
-    def __init__(self, cfg: Config, num_devices: Optional[int] = None):
+    def __init__(self, cfg: Config, num_devices: Optional[int] = None,
+                 data=None):
         self.cfg = cfg
         if cfg.run.prng_impl != "threefry2x32":
             jax.config.update("jax_default_prng_impl", cfg.run.prng_impl)
@@ -99,7 +100,8 @@ class Trainer:
         self.logger = get_logger(cfg.run.out_dir)
         self.writer = MetricWriter(cfg.run.out_dir)
         self.method = get_method(cfg.method.name)
-        self.data = make_data(cfg, seed=cfg.run.seed)
+        self.data = data if data is not None else make_data(
+            cfg, seed=cfg.run.seed)
 
         rng = jax.random.key(cfg.run.seed)
         self.state, self.model = self.method.init_state(cfg, rng)
@@ -136,6 +138,28 @@ class Trainer:
                 and getattr(self.model, "conv_backend", "xla") != "xla"):
             eval_model = self.model.clone(conv_backend="xla")
         self.eval_step = method_base.make_eval_step(cfg, eval_model)
+        # device-resident pools: when the dataset carries FIXED labeled +
+        # unlabeled pools, fold sampling and the whole epoch into one
+        # jitted lax.scan — zero per-step host traffic (the loopback
+        # relay's upload bandwidth otherwise caps 256² training at ~10
+        # imgs/s vs the chip's 358; see data/device_pool.py)
+        self.device_pools = False
+        self._val_sweep = None
+        if (cfg.run.device_pools and self.mesh.devices.size == 1
+                and getattr(self.data, "_pool", None) is not None
+                and getattr(self.data, "_upool", None) is not None):
+            from uaps_tpu.data import device_pool as dpool
+            self._pools = dpool.put_pools(self.data)
+            self._epoch_fn = dpool.make_pool_epoch(
+                step_fn, cfg.data.batch_size, cfg.run.iter_per_epoch,
+                weak_strong=(cfg.method.name == "ucc"))
+            self.device_pools = True
+            if getattr(self.data, "_val", None) is not None:
+                self._val_pool = (
+                    jax.device_put(self.data._val["image"]),
+                    jax.device_put(self.data._val["label"]))
+                self._val_sweep = dpool.make_pool_eval(
+                    self.eval_step, cfg.data.batch_size)
         self.scheduler = method_base.PlateauScheduler(cfg.optim)
         # CPS runs two optimizers with their own plateau schedulers
         # (reference CPS_train.py:115-119)
@@ -192,6 +216,16 @@ class Trainer:
         if self.state.second is not None:
             weight_sets.append(("2", self.state.second.params,
                                 self.state.second.batch_stats))
+        if self._val_sweep is not None:
+            # one dispatch sweeps the whole device-resident val pool
+            out: Dict[str, float] = {}
+            for tag, params, bstats in weight_sets:
+                m = jax.device_get(
+                    self._val_sweep(params, bstats, *self._val_pool))
+                for k, v in m.items():
+                    k = k.replace("val_", f"val{tag}_") if tag else k
+                    out[k] = float(v)
+            return out
         sums: Dict[str, float] = {}
         n = 0
         for batch in self.data.val_iter():
@@ -212,7 +246,8 @@ class Trainer:
     def run(self, resume: bool = False):
         cfg = self.cfg
         start_epoch = self.maybe_resume() if resume else 0
-        stream = _train_stream(self.data, cfg.method.name)
+        stream = (None if self.device_pools
+                  else _train_stream(self.data, cfg.method.name))
         self.logger.info(
             f"method={cfg.method.name} model={cfg.model.name} "
             f"devices={self.mesh.devices.size} "
@@ -224,6 +259,16 @@ class Trainer:
             t0 = time.time()
             epoch_metrics = []
             it = 0
+            if self.device_pools:
+                # whole epoch in ONE dispatch; sampling keys are a
+                # deterministic function of (seed, epoch) so resume
+                # reproduces the same batch sequence
+                ekey = jax.random.fold_in(
+                    jax.random.key(cfg.run.seed + 424242), epoch)
+                self.state, metrics = self._epoch_fn(self.state, ekey,
+                                                     *self._pools)
+                epoch_metrics.append(metrics)
+                it = cfg.run.iter_per_epoch
             while it < cfg.run.iter_per_epoch:
                 k = min(self.k_dispatch, cfg.run.iter_per_epoch - it)
                 if k > 1 and k == self.k_dispatch:
@@ -382,6 +427,11 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="K>1 runs K steps per dispatch via lax.scan "
                         "(identical updates, amortized dispatch)")
+    p.add_argument("--device_pools", action="store_true",
+                   help="device-resident fixed pools: sample batches and "
+                        "run whole epochs inside one jitted scan (needs "
+                        "a dataset with fixed pools; see "
+                        "data/device_pool.py)")
     p.add_argument("--head_variant", default=None,
                    choices=["taps", "im2col", "dhdw", "xla"],
                    help="out_conv logits-head kernel (PERF.md A/B knob)")
@@ -432,6 +482,7 @@ def parse_args(argv=None) -> Config:
                 use_shard_map=(True if args.shard_map
                                else (False if args.gspmd else None)),
                 steps_per_dispatch=args.steps_per_dispatch,
+                device_pools=args.device_pools or None,
                 early_stop_patience=args.early_stop_patience,
                 debug_nans=args.debug_nans or None),
     )

@@ -174,6 +174,12 @@ class RunConfig:
     # TPU single-device runs (where dispatch overhead is real), 1
     # elsewhere (profiling and shard_map force 1 regardless).
     steps_per_dispatch: int = 0
+    # Fold sampling + the whole epoch into one jitted lax.scan over
+    # DEVICE-RESIDENT fixed pools (data/device_pool.py). Requires a
+    # dataset with fixed labeled+unlabeled pools and a 1-device mesh;
+    # the quality runs and ablations use it because the loopback relay's
+    # upload bandwidth otherwise caps 256² training at ~10 imgs/s.
+    device_pools: bool = False
 
 
 @dataclasses.dataclass

@@ -28,9 +28,22 @@ from uaps_tpu.train import Trainer  # noqa: E402
 from uaps_tpu.utils.config import preset  # noqa: E402
 from uaps_tpu.data.synthetic import SyntheticDefects  # noqa: E402
 
+import os
+
 TRAIN_POOL = 240
 FRACTIONS = (0.05, 0.10, 0.20, 0.40)
-EPOCHS, ITERS = 30, 25
+# 30x25 steps (round-1 ssl_compare's easy-pool recipe) was far too short
+# Calibration history (r3c, measured — don't re-walk): HARD pools at
+# 64px are degenerate for this matrix at ANY schedule — with 24 labeled
+# images the model memorizes (train dice 0.9999) while val mDice decays
+# to ~0.01 (best ~0.05) whether trained 30x25 or 250x25 steps; no axis
+# can differentiate down there. EASY pools at 64px are the regime where
+# the SSL effect measurably separates methods (r1 ssl_compare: baseline
+# 0.7978 vs uaps 0.8515 at 24 labels) without saturating, so the matrix
+# runs easy pools; the HARD production-scale evidence lives in
+# quality_run.py at 256² (docs/QUALITY.md §b).
+EPOCHS = int(os.environ.get("UAPS_ABL_EPOCHS", "40"))
+ITERS = 25
 
 
 def run_leg(method: str, labeled: int, n_aux: int = 3) -> dict:
@@ -44,9 +57,9 @@ def run_leg(method: str, labeled: int, n_aux: int = 3) -> dict:
         device_pools=True,
         out_dir=f"runs/abl_{method}_l{labeled}_a{n_aux}")
     # fixed train pool of TRAIN_POOL images split labeled/unlabeled like
-    # the reference's sklearn split; HARD rendering so the labeled-ratio
-    # axis actually differentiates (easy mode saturates at any ratio)
-    data = SyntheticDefects(cfg.data, seed=cfg.run.seed, hard=True,
+    # the reference's sklearn split; EASY rendering — see the calibration
+    # note above (hard@64px is degenerate for every leg)
+    data = SyntheticDefects(cfg.data, seed=cfg.run.seed,
                             labeled_pool=labeled,
                             unlabeled_pool=TRAIN_POOL - labeled,
                             val_pool=64)
@@ -74,6 +87,14 @@ def run_leg(method: str, labeled: int, n_aux: int = 3) -> dict:
 
 
 def main():
+    if "probe" in sys.argv:
+        # calibration probe: the 10% pair only — verifies the schedule
+        # differentiates methods before paying the full sweep's compiles
+        for method in ("baseline", "uaps"):
+            r = run_leg(method, int(TRAIN_POOL * 0.10))
+            r["fraction"] = 0.10
+            print("RESULT " + json.dumps(r), flush=True)
+        return
     results = []
     for frac in FRACTIONS:                       # labeled-ratio matrix
         labeled = int(TRAIN_POOL * frac)

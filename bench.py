@@ -294,15 +294,23 @@ def main():
     # divide by the FAIR baseline: never let a single-CPU host's slow
     # torch measurement inflate the ratio (see FAIR_TORCH_FLOOR above)
     baseline = max(torch_ips or 0.0, FAIR_TORCH_FLOOR)
-    if torch_ips is not None and torch_ips < FAIR_TORCH_FLOOR:
+    if torch_ips is None:
+        baseline_source = "floor"
+        log(f"torch baseline unmeasured; assuming fair multicore floor "
+            f"{FAIR_TORCH_FLOOR} for vs_baseline")
+    elif torch_ips < FAIR_TORCH_FLOOR:
+        baseline_source = "floor"
         log(f"measured torch-cpu {torch_ips:.3f} < fair multicore floor "
             f"{FAIR_TORCH_FLOOR}; using the floor for vs_baseline")
+    else:
+        baseline_source = "measured"
     vs = round(jax_ips / baseline, 3) if baseline else None
     print(json.dumps({
         "metric": "uaps_train_imgs_per_sec_per_chip",
         "value": round(jax_ips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": vs,
+        "baseline_source": baseline_source,
     }))
 
 

@@ -533,8 +533,8 @@ class TestMultiChipConvergence:
         print(f"\nval mDice after {self.N_STEPS} steps: "
               f"1-dev {d1:.4f}, shard_map {dsm:.4f}, gspmd {dgs:.4f}")
         # all three must have actually learned (init is ~0.0; 120 steps
-        # on hard 32px pools reaches ~0.28-0.40 — measured r3: 1-dev
-        # 0.3325, shard_map 0.2797, gspmd 0.3984)...
+        # on easy (default, hard=False) 32px pools reaches ~0.28-0.40 —
+        # measured r3: 1-dev 0.3325, shard_map 0.2797, gspmd 0.3984)...
         for d in (d1, dsm, dgs):
             assert d > 0.22, (d1, dsm, dgs)
         # ...and agree within trajectory noise (different BN semantics +

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import logging
 import os
 import time
 from typing import Dict, Iterator, Optional
@@ -145,6 +146,15 @@ class Trainer:
         # imgs/s vs the chip's 358; see data/device_pool.py)
         self.device_pools = False
         self._val_sweep = None
+        if cfg.run.device_pools and not (
+                self.mesh.devices.size == 1
+                and getattr(self.data, "_pool", None) is not None
+                and getattr(self.data, "_upool", None) is not None):
+            why = ("mesh has >1 device" if self.mesh.devices.size != 1
+                   else "dataset has no fixed _pool/_upool arrays")
+            logging.getLogger("uaps").warning(
+                "device_pools requested but disabled: %s; falling back to "
+                "the (much slower through a relay) host-fed pipeline", why)
         if (cfg.run.device_pools and self.mesh.devices.size == 1
                 and getattr(self.data, "_pool", None) is not None
                 and getattr(self.data, "_upool", None) is not None):
@@ -155,11 +165,21 @@ class Trainer:
                 weak_strong=(cfg.method.name == "ucc"))
             self.device_pools = True
             if getattr(self.data, "_val", None) is not None:
-                self._val_pool = (
-                    jax.device_put(self.data._val["image"]),
-                    jax.device_put(self.data._val["label"]))
-                self._val_sweep = dpool.make_pool_eval(
-                    self.eval_step, cfg.data.batch_size)
+                n_val = self.data._val["image"].shape[0]
+                if n_val % cfg.data.batch_size == 0:
+                    self._val_pool = (
+                        jax.device_put(self.data._val["image"]),
+                        jax.device_put(self.data._val["label"]))
+                    self._val_sweep = dpool.make_pool_eval(
+                        self.eval_step, cfg.data.batch_size)
+                else:
+                    # the host validate() path sweeps the remainder batch
+                    # (drop_last=False); the jitted sweep would silently
+                    # drop it — fall back rather than diverge
+                    logging.getLogger("uaps").warning(
+                        "val pool size %d not a multiple of batch_size %d;"
+                        " using the host validate() path", n_val,
+                        cfg.data.batch_size)
         self.scheduler = method_base.PlateauScheduler(cfg.optim)
         # CPS runs two optimizers with their own plateau schedulers
         # (reference CPS_train.py:115-119)

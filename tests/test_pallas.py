@@ -658,3 +658,154 @@ class TestFlatBNStats:
         np.testing.assert_allclose(np.asarray(ye_flat),
                                    np.asarray(ye_ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestChainConvKernels:
+    """pallas/block_conv.py — the r4 fused ConvBlock chain (VERDICT r3
+    #1). Kernel parity + full VJPs in interpret mode against the jnp
+    reference twins (which share the math INCLUDING the position-hashed
+    dropout bitstream), then ConvBlock-level equivalence of the chain
+    path vs the default path. Matches reference UAPS_unet.py:31-47."""
+
+    B, CIN, COUT, H, W = 2, 8, 16, 64, 128
+
+    def _data(self):
+        from uaps_tpu.pallas import block_conv as bc
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(self.B, self.CIN, self.H, self.W),
+                        jnp.float32)
+        w = jnp.asarray(0.1 * rng.randn(3, 3, self.CIN, self.COUT),
+                        jnp.float32)
+        f = jnp.asarray(0.5 + rng.rand(self.CIN), jnp.float32)
+        s = jnp.asarray(0.1 * rng.randn(self.CIN), jnp.float32)
+        cos = [jnp.asarray(rng.randn(self.B, self.COUT, self.H, self.W),
+                           jnp.float32),
+               jnp.asarray(rng.randn(self.COUT), jnp.float32),
+               jnp.asarray(rng.randn(self.COUT), jnp.float32)]
+        return bc, x, w, f, s, jnp.int32(1234), cos
+
+    def test_plain_fwd_and_vjp(self):
+        bc, x, w, f, s, seed, (yt, c1, c2) = self._data()
+        y, s1, s2 = bc.chain_conv_plain(x, w, True)
+        yr, s1r, s2r = bc.chain_ref_plain(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                                   rtol=1e-5, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                                   rtol=1e-5, atol=5e-3)
+
+        def lk(x, w):
+            y, s1, s2 = bc.chain_conv_plain(x, w, True)
+            return jnp.sum(y * yt) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        def lr(x, w):
+            y, s1, s2 = bc.chain_ref_plain(x, w)
+            return jnp.sum(y * yt) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        gk = jax.grad(lk, (0, 1))(x, w)
+        gr = jax.grad(lr, (0, 1))(x, w)
+        for a, b in zip(gk, gr):
+            d = (np.abs(np.asarray(a - b)).max()
+                 / (np.abs(np.asarray(b)).max() + 1e-9))
+            assert d < 1e-4, d
+
+    @pytest.mark.parametrize("rate", [0.0, 0.3])
+    def test_bnl_fwd_and_vjp(self, rate):
+        bc, x, w, f, s, seed, (yt, c1, c2) = self._data()
+        y, s1, s2 = bc.chain_conv_bnl(x, f, s, w, seed, rate, True)
+        yr, s1r, s2r = bc.chain_ref_bnl(x, f, s, w, seed, rate)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                                   rtol=1e-4, atol=5e-3)
+
+        def lk(x, f, s, w):
+            y, s1, s2 = bc.chain_conv_bnl(x, f, s, w, seed, rate, True)
+            return jnp.sum(y * yt) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        def lr(x, f, s, w):
+            y, s1, s2 = bc.chain_ref_bnl(x, f, s, w, seed, rate)
+            return jnp.sum(y * yt) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        gk = jax.grad(lk, (0, 1, 2, 3))(x, f, s, w)
+        gr = jax.grad(lr, (0, 1, 2, 3))(x, f, s, w)
+        for a, b in zip(gk, gr):
+            d = (np.abs(np.asarray(a - b)).max()
+                 / (np.abs(np.asarray(b)).max() + 1e-9))
+            assert d < 1e-4, d
+
+    def test_hash_keep_rate_and_determinism(self):
+        bc = self._data()[0]
+        keep = bc.hash_keep_ref(jnp.int32(7), (4, 16, 64, 128), 0.3)
+        m = float(np.asarray(keep).mean())
+        assert abs(m - 0.7) < 0.01, m
+        keep2 = bc.hash_keep_ref(jnp.int32(7), (4, 16, 64, 128), 0.3)
+        assert np.array_equal(np.asarray(keep), np.asarray(keep2))
+        keep3 = bc.hash_keep_ref(jnp.int32(8), (4, 16, 64, 128), 0.3)
+        assert not np.array_equal(np.asarray(keep), np.asarray(keep3))
+
+    def test_convblock_chain_matches_default(self):
+        from uaps_tpu.models.unet import ConvBlock
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 64, 128), jnp.float32)
+        kw = dict(features=16, dropout_rate=0.0, layout="nchw")
+        ref = ConvBlock(conv_backend="auto", **kw)
+        chn = ConvBlock(conv_backend="chain", **kw)
+        v = ref.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        v2 = chn.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        chex.assert_trees_all_close(v["params"], v2["params"])
+        y1, u1 = ref.apply(v, x, train=True, mutable=["batch_stats"])
+        y2, u2 = chn.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   rtol=2e-5, atol=2e-5)
+        chex.assert_trees_all_close(u2["batch_stats"], u1["batch_stats"],
+                                    rtol=2e-5, atol=2e-5)
+        ye1 = ref.apply(v, x, train=False)
+        ye2 = chn.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(ye2), np.asarray(ye1),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(params, m):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out * y1)
+
+        g1 = jax.grad(loss)(v["params"], ref)
+        g2 = jax.grad(loss)(v["params"], chn)
+        for k in ("Conv_0", "Conv_1", "BatchNorm_0", "BatchNorm_1"):
+            for p in g1[k]:
+                if p == "bias" and k.startswith("Conv"):
+                    # chain gives the mathematically exact zero (bias
+                    # cancels through train-mode BN); the default path
+                    # leaves catastrophic-cancellation noise
+                    assert float(jnp.abs(g2[k][p]).max()) == 0.0
+                    continue
+                a, b = np.asarray(g2[k][p]), np.asarray(g1[k][p])
+                d = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+                assert d < 1e-4, (k, p, d)
+
+    def test_convblock_chain_dropout_stats(self):
+        from uaps_tpu.models.unet import ConvBlock
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 64, 128), jnp.float32)
+        ref = ConvBlock(conv_backend="auto", features=16,
+                        dropout_rate=0.5, layout="nchw",
+                        dropout_backend="xla")
+        chn = ConvBlock(conv_backend="chain", features=16,
+                        dropout_rate=0.5, layout="nchw")
+        v = ref.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        r = {"dropout": jax.random.PRNGKey(7)}
+        y1, _ = ref.apply(v, x, train=True, mutable=["batch_stats"],
+                          rngs=r)
+        y2, _ = chn.apply(v, x, train=True, mutable=["batch_stats"],
+                          rngs=r)
+        # different RNG streams -> statistical agreement only
+        assert abs(float(y1.mean()) - float(y2.mean())) < 0.02
+        assert abs(float(y1.std()) - float(y2.std())) < 0.02
+        # eval mode: dropout off, exact agreement
+        ye1 = ref.apply(v, x, train=False)
+        ye2 = chn.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(ye2), np.asarray(ye1),
+                                   rtol=2e-5, atol=2e-5)

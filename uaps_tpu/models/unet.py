@@ -225,6 +225,22 @@ class BNFactorShift(nn.Module):
         return factor, shift_eff
 
 
+class _ConvParams(nn.Module):
+    """Declares a Conv3x3-compatible {kernel, bias} param pair without
+    running a conv — the chain path (pallas/block_conv.py) consumes the
+    raw params so the whole ConvBlock can run as two fused kernels while
+    keeping the checkpoint/torch-import tree identical."""
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ConvBlock(nn.Module):
     """Conv3x3-BN-LeakyReLU, Dropout, Conv3x3-BN-LeakyReLU
     (UAPS_unet.py:31-47). layout picks the activation layout; BN params
@@ -273,6 +289,8 @@ class ConvBlock(nn.Module):
         )
         if use_fused:
             return self._fused(x, train)
+        if nchw and not self.bn_stats and self.conv_backend == "chain":
+            return self._chain(x, train)
 
         def conv_bn(x, conv_name, bn_name):
             if nchw and self.bn_stats:
@@ -324,6 +342,47 @@ class ConvBlock(nn.Module):
                                deterministic=not train)(x)
         x = conv_bn(x, "Conv_1", "BatchNorm_1")
         return nn.leaky_relu(x)
+
+    def _chain(self, x, train: bool):
+        """The r4 fused ConvBlock chain (pallas/block_conv.py): conv
+        kernels emit the BN moments free from their f32 accumulators,
+        the middle BN-normalize+LeakyReLU+Dropout runs inside conv2's
+        VMEM prologue (position-hashed mask, regenerated in the VJP),
+        and each backward is one fused dgrad+wgrad kernel. Param tree
+        identical to the default path (Conv_0/1 + BatchNorm_0/1).
+
+        Matches reference UAPS_unet.py:31-47 semantics; RNG deviation
+        (hash bitstream vs torch RNG) documented in ARCHITECTURE.md."""
+        from uaps_tpu.pallas import block_conv as bc
+        cin = x.shape[1]
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        use_k = (
+            jax.devices()[0].platform == "tpu"
+            and x.shape[2] >= 128 and x.shape[3] >= 128
+            and x.shape[2] % 8 == 0 and x.shape[3] % 128 == 0
+            and self.features <= 32 and cin <= 64
+        )
+        dt = self.dtype
+        k1, b1 = _ConvParams(self.features, name="Conv_0")(cin)
+        k2, b2 = _ConvParams(self.features, name="Conv_1")(self.features)
+        xc = x.astype(dt)
+        fn1 = bc.chain_conv_plain if use_k else bc.chain_ref_plain
+        y1, s1a, s2a = fn1(xc, k1.astype(dt))
+        f1, sh1 = BNFactorShift(name="BatchNorm_0")(
+            s1a, s2a, n, b1, train=train)
+        rate = float(self.dropout_rate) if train else 0.0
+        if rate > 0:
+            from uaps_tpu.ops.perturbations import _kernel_seed
+            seed = _kernel_seed(self.make_rng("dropout"))
+        else:
+            seed = jnp.int32(0)
+        fn2 = bc.chain_conv_bnl if use_k else bc.chain_ref_bnl
+        y2, s1b, s2b = fn2(y1, f1, sh1, k2.astype(dt), seed, rate)
+        f2, sh2 = BNFactorShift(name="BatchNorm_1")(
+            s1b, s2b, n, b2, train=train)
+        out = (y2 * f2.astype(dt)[None, :, None, None]
+               + sh2.astype(dt)[None, :, None, None])
+        return nn.leaky_relu(out)
 
     def _fused(self, x, train: bool):
         """conv1 -> (moments) -> [normalize+leaky fused into conv2's

@@ -61,6 +61,11 @@ class ModelConfig:
     #   "fused": additionally fuse BN-normalize+leaky into the second
     #            ConvBlock conv's prologue (pallas/conv_bnl.py) —
     #            measured +3.3 ms/step vs "auto" (r2), kept opt-in
+    #   "chain": the r4 fused ConvBlock chain (pallas/block_conv.py):
+    #            conv kernels emit BN moments from their f32
+    #            accumulators, the middle normalize+leaky+dropout runs
+    #            in conv2's VMEM prologue, and each backward is ONE
+    #            fused dgrad+wgrad kernel
     #   "xla":   plain XLA everywhere (the GSPMD >1-device setting,
     #            where pallas_call would run replicated)
     conv_backend: str = "auto"

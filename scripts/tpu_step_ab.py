@@ -62,15 +62,19 @@ def measure(variant: str) -> float:
         mrep["conv_variant"] = flag_kv["var"]
     if flag_kv.get("stack") == "1":
         mrep["stack_decoders"] = True
+    if flag_kv.get("pack") == "1":
+        mrep["packed_heads"] = True
     cfg.model = dataclasses.replace(cfg.model, **mrep)
     mcfg_rep = dict(fused_uncertainty=flag_kv.get("unc", "1") != "0")
     if flag_kv.get("fb") == "1":
         mcfg_rep["fused_batch"] = True
     cfg.method = dataclasses.replace(cfg.method, **mcfg_rep)
     method = get_method("uaps")
+    print(f"[{variant}] init...", flush=True)
     state, model = method.init_state(cfg, jax.random.key(0))
     tx = mbase.make_optimizer(cfg.optim)
     step = jax.jit(method.make_train_step(cfg, model, tx), donate_argnums=0)
+    print(f"[{variant}] compiling step...", flush=True)
     rng = np.random.default_rng(0)
     b = synthetic_batch(rng, BATCH, IMAGE, 4, 3)
     # device_put ONCE — feeding numpy per step would re-upload ~26 MB

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from uaps_tpu.utils.checkpoint import CheckpointManager
 
+pytestmark = pytest.mark.fast
+
 
 def _state(seed):
     k = jax.random.key(seed)

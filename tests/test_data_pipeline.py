@@ -15,6 +15,8 @@ from uaps_tpu.utils.config import DataConfig
 from uaps_tpu.data.pipeline import DefectDataset, discover_ids
 from uaps_tpu.data.specs import SPECS, split_ids
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def fake_neu(tmp_path_factory):

@@ -6,6 +6,8 @@ from uaps_tpu import native
 from uaps_tpu.data.augment import normalize
 from uaps_tpu.utils.rle import mask2rle
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def L():

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from uaps_tpu.ops import losses
 
+pytestmark = pytest.mark.fast
+
 
 def _rand_logits_labels(rng, b=2, h=17, w=19, c=4):
     logits = rng.standard_normal((b, h, w, c)).astype(np.float32) * 3.0

@@ -10,6 +10,10 @@ import jax.numpy as jnp
 
 from uaps_tpu.ops import metrics
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def _np_miou(pred, mask, n_classes, smooth=1e-10):
     vals = []

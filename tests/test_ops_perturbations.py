@@ -10,6 +10,10 @@ import jax.numpy as jnp
 
 from uaps_tpu.ops import perturbations as P
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def _feat(rng, b=3, h=16, w=16, c=8):
     return jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))

@@ -94,7 +94,26 @@ class PlateauScheduler:
         return state
 
 
+_MODEL_ENUMS = {
+    "conv_backend": {"auto", "fused", "chain", "xla"},
+    "conv_variant": {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp",
+                     "fullh"},
+    "head_variant": {"taps", "im2col", "dhdw", "dwnp", "xla"},
+    "dropout_backend": {"auto", "xla", "pallas"},
+    "pool_backend": {"auto", "pallas", "maskpool", "xla"},
+    "bn_backend": {"auto", "4d", "flat"},
+}
+
+
 def build_model(cfg):
+    # validate enum knobs EARLY and on every platform — on CPU the
+    # pallas dispatch gates are off, so a typo'd value would otherwise
+    # silently run the fallback (VERDICT r3 #8 knob hygiene)
+    for field, allowed in _MODEL_ENUMS.items():
+        v = getattr(cfg.model, field)
+        if v not in allowed:
+            raise ValueError(f"ModelConfig.{field}={v!r}; "
+                             f"expected one of {sorted(allowed)}")
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         cfg.model.compute_dtype]
     kwargs = {"remat": cfg.model.remat,
@@ -109,6 +128,9 @@ def build_model(cfg):
         kwargs["dropout_backend"] = cfg.model.dropout_backend
         kwargs["pool_backend"] = cfg.model.pool_backend
         kwargs["bn_backend"] = cfg.model.bn_backend
+    if cfg.model.name in ("unet_uaps", "unet_cct", "unet_ucc",
+                          "unet_ccps"):
+        kwargs["packed_heads"] = cfg.model.packed_heads
     return net_factory(cfg.model.name, in_chns=cfg.data.in_channels,
                        class_num=cfg.data.num_classes, dtype=dtype, **kwargs)
 

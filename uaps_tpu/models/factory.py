@@ -48,7 +48,8 @@ def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
                remat: bool = False, nchw_levels: int = 0,
                conv_backend: str = "auto", conv_variant: str = "taps",
                head_variant: str = "taps", dropout_backend: str = "auto",
-               pool_backend: str = "auto", bn_backend: str = "auto"):
+               pool_backend: str = "auto", bn_backend: str = "auto",
+               packed_heads: bool = False):
     """UAPS net; n_aux in {2,3,4} per the paper's ablation
     (UAPS_train.py:139 comments). kinds cycle through the reference order."""
     base = ("feature_noise", "dropout", "feature_dropout")
@@ -61,7 +62,8 @@ def _unet_uaps(num_classes: int, dtype=jnp.float32, n_aux: int = 3,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
                             pool_backend=pool_backend,
-                            bn_backend=bn_backend)
+                            bn_backend=bn_backend,
+                            packed_heads=packed_heads)
 
 
 @_register("unet_cct")
@@ -69,7 +71,8 @@ def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False,
               nchw_levels: int = 0, conv_backend: str = "auto",
               conv_variant: str = "taps", head_variant: str = "taps",
               dropout_backend: str = "auto",
-              pool_backend: str = "auto", bn_backend: str = "auto"):
+              pool_backend: str = "auto", bn_backend: str = "auto",
+              packed_heads: bool = False):
     # arch-identical to unet_uaps (CCT/CCT_unet.py:261-286)
     return MultiDecoderUNet(num_classes=num_classes, dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
@@ -78,7 +81,8 @@ def _unet_cct(num_classes: int, dtype=jnp.float32, remat: bool = False,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
                             pool_backend=pool_backend,
-                            bn_backend=bn_backend)
+                            bn_backend=bn_backend,
+                            packed_heads=packed_heads)
 
 
 @_register("unet_ucc")
@@ -86,7 +90,8 @@ def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False,
               nchw_levels: int = 0, conv_backend: str = "auto",
               conv_variant: str = "taps", head_variant: str = "taps",
               dropout_backend: str = "auto",
-              pool_backend: str = "auto", bn_backend: str = "auto"):
+              pool_backend: str = "auto", bn_backend: str = "auto",
+              packed_heads: bool = False):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_noise",), dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
@@ -95,7 +100,8 @@ def _unet_ucc(num_classes: int, dtype=jnp.float32, remat: bool = False,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
                             pool_backend=pool_backend,
-                            bn_backend=bn_backend)
+                            bn_backend=bn_backend,
+                            packed_heads=packed_heads)
 
 
 @_register("unet_ccps")
@@ -103,7 +109,8 @@ def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
                nchw_levels: int = 0, conv_backend: str = "auto",
                conv_variant: str = "taps", head_variant: str = "taps",
                dropout_backend: str = "auto",
-               pool_backend: str = "auto", bn_backend: str = "auto"):
+               pool_backend: str = "auto", bn_backend: str = "auto",
+               packed_heads: bool = False):
     return MultiDecoderUNet(num_classes=num_classes,
                             perturbations=("feature_dropout",), dtype=dtype,
                             remat=remat, nchw_levels=nchw_levels,
@@ -112,7 +119,8 @@ def _unet_ccps(num_classes: int, dtype=jnp.float32, remat: bool = False,
                             head_variant=head_variant,
                             dropout_backend=dropout_backend,
                             pool_backend=pool_backend,
-                            bn_backend=bn_backend)
+                            bn_backend=bn_backend,
+                            packed_heads=packed_heads)
 
 
 @_register("unet_f")

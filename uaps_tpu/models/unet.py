@@ -648,7 +648,8 @@ class Decoder(nn.Module):
     bn_backend: str = "auto"
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False,
+                 return_feat: bool = False):
         ft = self.features
         x0, x1, x2, x3, x4 = feats
         lay = [_level_layout(i, self.nchw_levels) for i in range(5)]
@@ -662,6 +663,14 @@ class Decoder(nn.Module):
                         conv_variant=self.conv_variant,
                         bn_backend=self.bn_backend,
                         name=f"up{j + 1}")(x, skip, train=train)
+        if return_feat:
+            # packed-head path (MultiDecoderUNet): declare this decoder's
+            # out_conv params (tree unchanged) but let the caller run the
+            # heads of ALL decoders as one block-diagonal conv
+            cin = x.shape[1] if lay[0] == "nchw" else x.shape[-1]
+            kernel, bias = _ConvParams(self.num_classes,
+                                       name="out_conv")(cin)
+            return x, kernel, bias
         if lay[0] == "nchw":
             if self.head_variant == "xla":
                 # param tree identical to the pallas head (HWIO kernel +
@@ -759,7 +768,7 @@ def _maybe_remat(remat: bool):
     if not remat:
         return Encoder, Decoder
     return (nn.remat(Encoder, static_argnums=(2,)),
-            nn.remat(Decoder, static_argnums=(2,)))
+            nn.remat(Decoder, static_argnums=(2, 3)))  # train, return_feat
 
 
 class UNet(nn.Module):
@@ -828,6 +837,7 @@ class MultiDecoderUNet(nn.Module):
     dropout_backend: str = "auto"
     pool_backend: str = "auto"
     bn_backend: str = "auto"
+    packed_heads: bool = False  # see _packed_heads_out
 
     def setup(self):
         enc_cls, dec_cls = _maybe_remat(self.remat)
@@ -858,7 +868,8 @@ class MultiDecoderUNet(nn.Module):
 
     def __call__(self, x, *, train: bool = False):
         feats = self.encoder(x, train)
-        outputs = [self.main_decoder(feats, train)]
+        packed = self._use_packed_heads(feats)
+        outputs = [self.main_decoder(feats, train, packed)]
         if self.perturbations:
             key = self.make_rng("perturb")
             keys = jax.random.split(key, len(self.perturbations))
@@ -867,8 +878,58 @@ class MultiDecoderUNet(nn.Module):
                                     self.aux_decoders):
                 pfeats = perturb_features(k, feats, kind, axes,
                                           backend=self.conv_backend)
-                outputs.append(dec(pfeats, train))
+                outputs.append(dec(pfeats, train, packed))
+        if packed:
+            return self._packed_heads_out(outputs)
         return tuple(outputs)
+
+    def _use_packed_heads(self, feats) -> bool:
+        return (self.packed_heads
+                and _level_layout(0, self.nchw_levels) == "nchw"
+                and self.head_variant != "xla")
+
+    def _packed_heads_out(self, rfeats):
+        """Run the 1+n_aux out_conv heads as ONE block-diagonal conv
+        (VERDICT r3 #2): each head is Cout=n_cls (4 of 128 MXU rows);
+        channel-concatenating the D final features and block-stacking
+        the kernels turns D x 9 tiny matmuls into 9 matmuls at
+        K = D*16, M = D*n_cls. The off-block weights are zero, their
+        gradients are discarded by the .set() VJP, and each decoder
+        still owns its out_conv params — semantics and tree unchanged.
+        Matches reference UAPS_unet.py:139,152 (out_conv per decoder)."""
+        d = len(rfeats)
+        ncls = self.num_classes
+        cin = rfeats[0][0].shape[1]
+        dt = self.dtype
+        xcat = jnp.concatenate([x for x, _, _ in rfeats], axis=1)
+        wblk = jnp.zeros((3, 3, d * cin, d * ncls), jnp.float32)
+        for i, (_, k, _) in enumerate(rfeats):
+            wblk = wblk.at[:, :, i * cin:(i + 1) * cin,
+                           i * ncls:(i + 1) * ncls].set(k)
+        h, w = xcat.shape[2], xcat.shape[3]
+        use_pallas = (
+            self.conv_backend != "xla"
+            and jax.devices()[0].platform == "tpu"
+            and h >= 128 and w >= 128 and h % 8 == 0 and w % 128 == 0
+            and d * cin <= 64 and d * ncls <= 32
+        )
+        if use_pallas:
+            from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
+            variant = (self.head_variant
+                       if self.head_variant in ("taps", "im2col", "dhdw",
+                                                "dwnp") else "taps")
+            y = conv3x3_fast_nchw(xcat.astype(dt), wblk.astype(dt), False,
+                                  variant, jnp.float32)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xcat.astype(jnp.float32), wblk, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        outs = []
+        for i, (_, _, b) in enumerate(rfeats):
+            o = (y[:, i * ncls:(i + 1) * ncls]
+                 + b.astype(jnp.float32)[None, :, None, None])
+            outs.append(to_nhwc(o))
+        return tuple(outs)
 
     def main_only(self, x, *, train: bool = False):
         """Encoder + main decoder only — the eval fast path."""

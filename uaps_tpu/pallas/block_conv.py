@@ -90,6 +90,22 @@ def _keep_mask(seed, bi, si, *, cin, h, width, slab, rate, in_kernel):
     return hu <= threshold
 
 
+def _keep_mask_center(seed, bi, si, *, cin, h, width, slab, rate):
+    """The SAME position-hash draws as _keep_mask, but built directly on
+    the flat [cin, slab*width] center domain — Mosaic rejects the
+    sublane-offset slice keep[:, 4:4+slab, :] of the bool halo mask
+    (on-chip probe r4), so the backward recomputes the bits instead of
+    slicing them. pos = (bi*cin+ch)*h*width + (si*slab)*width + n, which
+    equals the 3-D formula at the block's center rows."""
+    shape = (cin, slab * width)
+    ch = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    n = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    pos = ((bi * cin + ch) * h + si * slab) * width + n
+    hu = _hash_u32(pos, seed, in_kernel=True)
+    threshold = jnp.uint32(int((1.0 - rate) * (2 ** 32 - 1)))
+    return hu <= threshold
+
+
 def _prologue_z(x, f_ref, s_ref, seed_ref, bi, si, *, cin, h, width, slab,
                 rate, in_kernel=True):
     """normalize + leaky + (dropout) + halo mask on a padded halo block
@@ -279,7 +295,8 @@ def _make_bwd_kernel(*, prologue, rate, slab, width, cin, cout, h):
             a = xc * f + s
             dl = dz
             if rate > 0:
-                kc = keep[:, 4:4 + slab, :].reshape(cin, slab * width)
+                kc = _keep_mask_center(seed_ref[0], bi, si, cin=cin, h=h,
+                                       width=width, slab=slab, rate=rate)
                 dl = jnp.where(kc, dl * (1.0 / (1.0 - rate)),
                                jnp.zeros_like(dl))
             da = dl * jnp.where(a >= 0, 1.0, NEG_SLOPE)

@@ -82,6 +82,12 @@ class ModelConfig:
     # (to_nhwc + XLA NHWC conv). A/B (PERF.md r2): taps 98.7, im2col
     # 98.8, xla 112.7 ms/step — taps stays the default
     head_variant: str = "taps"
+    # multi-decoder models only: run the 1+n_aux out_conv heads as ONE
+    # block-diagonal conv over the channel-concatenated final features
+    # (VERDICT r3 #2 — each Cout=n_cls head wastes ~97% of MXU rows;
+    # packing cuts the matmul pass count 4x). Semantics-preserving;
+    # param tree unchanged (each decoder still owns its out_conv)
+    packed_heads: bool = False
     # ConvBlock dropout: "auto" (fused pallas kernel on TPU — measured
     # 98.7 -> 94.6 ms/step — nn.Dropout elsewhere) | "xla" (nn.Dropout:
     # threefry mask + select) | "pallas" (force the fused kernel: on-core

@@ -211,3 +211,297 @@ def test_uaps_train_trajectory_matches_reference():
     # "agree"): supervised loss at the end well below the start
     assert t_loss[-1] < t_loss[0]
     assert j_loss[-1] < j_loss[0]
+
+
+# ---------------------------------------------------------------------------
+# MT (VERDICT r3 #4): pins the EMA-teacher semantics against the actual
+# reference recipe (MT/MT_train.py:79-83,170-230) — alpha schedule
+# min(1-1/(step+1), decay), post-optimizer EMA of parameters only,
+# train-mode teacher with its own BN-stat stream, input-noise clamp.
+# ---------------------------------------------------------------------------
+
+def _make_mt_batches():
+    rng = np.random.default_rng(77)
+    batches = []
+    for _ in range(N_STEPS):
+        batches.append({
+            "image": rng.standard_normal(
+                (BATCH, *IMAGE, 3)).astype(np.float32),
+            "label": rng.integers(
+                0, N_CLASSES, (BATCH, *IMAGE)).astype(np.int32),
+            "uimage": rng.standard_normal(
+                (BATCH, *IMAGE, 3)).astype(np.float32),
+            # the clamped teacher noise (MT_train.py:181), drawn on the
+            # host and fed to BOTH frameworks via the "tnoise" hook
+            "tnoise": np.clip(rng.standard_normal(
+                (BATCH, *IMAGE, 3)) * 0.1, -0.2, 0.2).astype(np.float32),
+        })
+    return batches
+
+
+def _mt_cfg():
+    cfg = preset("neu", method="mt")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
+                                   image_size=IMAGE)
+    cfg.model = dataclasses.replace(cfg.model, name="unet",
+                                    conv_backend="xla", nchw_levels=0)
+    # reference defaults (MT_train.py:48-54) with the iter<1000 gate
+    # moved to 0 so 10 steps actually exercise the consistency path
+    cfg.method = dataclasses.replace(
+        cfg.method, consistency1=0.1, consistency_rampup=200.0,
+        ema_decay=0.99, consistency_start_iter=0)
+    return cfg
+
+
+def _jax_mt_trajectory(batches):
+    from uaps_tpu.methods import mt as mt_method
+    from uaps_tpu.models.unet import UNet
+
+    cfg = _mt_cfg()
+    model = UNet(num_classes=N_CLASSES, dropout=(0.0,) * 5,
+                 conv_backend="xla", nchw_levels=0)
+    tx = mbase.make_optimizer(cfg.optim)
+    state = mbase.init_model_state(cfg, model, jax.random.key(0), tx)
+    state = state.replace(
+        ema_params=jax.tree.map(jnp.copy, state.params),
+        ema_batch_stats=jax.tree.map(jnp.copy, state.batch_stats))
+    step = jax.jit(mt_method.make_train_step(cfg, model, tx))
+    losses, ces, cons = [], [], []
+    for b in batches:
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        batch["ulabel"] = batch["label"]
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+        ces.append(float(m["ce_loss"]))
+        cons.append(float(m["consistency_loss"]))
+    return state, np.array(losses), np.array(ces), np.array(cons)
+
+
+def _torch_mt_trajectory(init_params, init_stats, batches):
+    """The reference MT recipe (MT_train.py:170-230) on the reference
+    baseline UNet, teacher initialized to the student (matching our
+    EMA-copy start; the reference's independently-random teacher start
+    only affects the pre-first-update teacher output)."""
+    from utilities.baseline_unet import UNet as TorchUNet
+    from utilities.pytorch_losses import dice_loss
+    from utilities.ramps import sigmoid_rampup
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(init_params, init_stats).items()}
+    student = TorchUNet(3, N_CLASSES)
+    teacher = TorchUNet(3, N_CLASSES)
+    for m in (student, teacher):
+        missing, unexpected = m.load_state_dict(sd, strict=False)
+        assert not unexpected
+        assert all("num_batches_tracked" in x for x in missing)
+        for mod in m.modules():
+            if isinstance(mod, nn.Dropout):
+                mod.p = 0.0
+        m.train()
+    for p in teacher.parameters():
+        p.detach_()                      # MT_model.py:13-14
+
+    ce = nn.CrossEntropyLoss()
+    opt = torch.optim.Adam(student.parameters(), lr=1e-3)
+
+    losses, ces, cons_l = [], [], []
+    for t, b in enumerate(batches):
+        x = torch.from_numpy(b["image"].transpose(0, 3, 1, 2))
+        y = torch.from_numpy(b["label"].astype(np.int64))
+        xu = torch.from_numpy(b["uimage"].transpose(0, 3, 1, 2))
+        noise = torch.from_numpy(b["tnoise"].transpose(0, 3, 1, 2))
+
+        out = student(x)                                   # :194
+        un_out = student(xu)                               # :198
+        with torch.no_grad():
+            ema_out = teacher(xu + noise)                  # :204-207
+        loss_ce = ce(out, y)
+        loss_dice = dice_loss(y.unsqueeze(1), out)
+        sup = 0.5 * (loss_dice + loss_ce)                  # :212
+        w = 0.1 * sigmoid_rampup(t // 150, 200.0)          # :214
+        # gate moved from 1000 to 0 (see _mt_cfg)
+        cons = torch.mean((torch.softmax(un_out, dim=1)
+                           - torch.softmax(ema_out, dim=1)) ** 2)
+        loss = sup + w * cons                              # :221
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        # EMA after the step, alpha on the PRE-increment counter (:219)
+        alpha = min(1 - 1 / (t + 1), 0.99)
+        with torch.no_grad():
+            for ep, p in zip(teacher.parameters(), student.parameters()):
+                ep.data.mul_(alpha).add_(p.data, alpha=1 - alpha)
+        losses.append(float(loss))
+        ces.append(float(loss_ce))
+        cons_l.append(float(cons))
+    return np.array(losses), np.array(ces), np.array(cons_l)
+
+
+@pytest.mark.slow
+def test_mt_train_trajectory_matches_reference():
+    batches = _make_mt_batches()
+    cfg = _mt_cfg()
+    from uaps_tpu.models.unet import UNet
+    model = UNet(num_classes=N_CLASSES, dropout=(0.0,) * 5,
+                 conv_backend="xla", nchw_levels=0)
+    tx = mbase.make_optimizer(cfg.optim)
+    state0 = mbase.init_model_state(cfg, model, jax.random.key(0), tx)
+    init_params = jax.tree.map(np.asarray, state0.params)
+    init_stats = jax.tree.map(np.asarray, state0.batch_stats)
+
+    _, j_loss, j_ce, j_cons = _jax_mt_trajectory(batches)
+    t_loss, t_ce, t_cons = _torch_mt_trajectory(
+        init_params, init_stats, batches)
+
+    print("\nstep |  jax loss  | torch loss |   diff")
+    for t in range(N_STEPS):
+        print(f"{t:4d} | {j_loss[t]:.6f} | {t_loss[t]:.6f} | "
+              f"{j_loss[t] - t_loss[t]:+.2e}")
+
+    np.testing.assert_allclose(j_loss, t_loss, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(j_ce, t_ce, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(j_cons, t_cons, rtol=0, atol=5e-3)
+    assert t_loss[-1] < t_loss[0] and j_loss[-1] < j_loss[0]
+
+
+# ---------------------------------------------------------------------------
+# CPS (VERDICT r3 #4): pins the dual-model cross-pseudo/detach semantics
+# against the actual reference recipe (CPS/CPS_train.py:190-261) — two
+# independently-initialized UNet_f nets, argmax pseudo-labels of the
+# OTHER net (detached) on labeled AND unlabeled batches, one combined
+# loss, two Adam optimizers stepping together.
+# ---------------------------------------------------------------------------
+
+def _cps_cfg():
+    cfg = preset("neu", method="cps")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
+                                   image_size=IMAGE)
+    cfg.model = dataclasses.replace(cfg.model, name="unet_f",
+                                    conv_backend="xla", nchw_levels=0)
+    cfg.method = dataclasses.replace(
+        cfg.method, consistency1=0.1, consistency_rampup=200.0)
+    return cfg
+
+
+def _cps_models_and_state():
+    from uaps_tpu.models.unet import DeepSupervisionUNet
+    cfg = _cps_cfg()
+    model = DeepSupervisionUNet(num_classes=N_CLASSES,
+                                perturbation="none", dropout=(0.0,) * 5,
+                                conv_backend="xla")
+    tx = mbase.make_optimizer(cfg.optim)
+    r1, r2 = jax.random.split(jax.random.key(0))
+    s1 = mbase.init_model_state(cfg, model, r1, tx)
+    s2 = mbase.init_model_state(cfg, model, r2, tx)
+    return cfg, model, tx, s1.replace(second=s2)
+
+
+def _jax_cps_trajectory(batches):
+    from uaps_tpu.methods import cps as cps_method
+    cfg, model, tx, state = _cps_models_and_state()
+    step = jax.jit(cps_method.make_train_step(cfg, model, tx))
+    losses, sups, lcps, ucps = [], [], [], []
+    for b in batches:
+        batch = {"image": jnp.asarray(b["image"]),
+                 "label": jnp.asarray(b["label"]),
+                 "uimage": jnp.asarray(b["uimage"]),
+                 "ulabel": jnp.asarray(b["label"])}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+        sups.append(float(m["sup_loss"]))
+        lcps.append(float(m["labeled_cps_loss"]))
+        ucps.append(float(m["unlabeled_cps_loss"]))
+    return (np.array(losses), np.array(sups), np.array(lcps),
+            np.array(ucps))
+
+
+def _torch_cps_trajectory(inits, batches):
+    """CPS_train.py:190-261 on two reference UNet_f nets."""
+    from utilities.m_unet import UNet_f
+    from utilities.pytorch_losses import dice_loss
+    from utilities.ramps import sigmoid_rampup
+
+    models, opts = [], []
+    for params, stats in inits:
+        tm = UNet_f(3, N_CLASSES)
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in export_state_dict(params, stats).items()}
+        missing, unexpected = tm.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        assert all(("num_batches_tracked" in m) or ("out_conv_dp4" in m)
+                   for m in missing), missing
+        for mod in tm.modules():
+            if isinstance(mod, nn.Dropout):
+                mod.p = 0.0
+        tm.train()
+        models.append(tm)
+        opts.append(torch.optim.Adam(tm.parameters(), lr=1e-3))
+    m1, m2 = models
+    o1_, o2_ = opts
+    ce = nn.CrossEntropyLoss()
+
+    losses, sups, lcpss, ucpss = [], [], [], []
+    for t, b in enumerate(batches):
+        x = torch.from_numpy(b["image"].transpose(0, 3, 1, 2))
+        y = torch.from_numpy(b["label"].astype(np.int64))
+        xu = torch.from_numpy(b["uimage"].transpose(0, 3, 1, 2))
+
+        out1 = m1(x)[5]                                   # dp0 (:195-196)
+        out2 = m2(x)[5]
+        un1 = m1(xu)[5]                                   # :205-206
+        un2 = m2(xu)[5]
+        sup = (0.5 * (ce(out1, y) + dice_loss(y.unsqueeze(1), out1))
+               + 0.5 * (ce(out2, y) + dice_loss(y.unsqueeze(1), out2)))
+
+        pl1 = torch.argmax(torch.softmax(out1, 1).detach(), 1)  # :228-229
+        pl2 = torch.argmax(torch.softmax(out2, 1).detach(), 1)
+        labeled_cps = (
+            0.5 * ce(out1, pl2) + 0.5 * dice_loss(pl2.unsqueeze(1), out1)
+            + 0.5 * ce(out2, pl1)
+            + 0.5 * dice_loss(pl1.unsqueeze(1), out2))    # :231-234
+
+        pu1 = torch.argmax(torch.softmax(un1, 1).detach(), 1)   # :238-239
+        pu2 = torch.argmax(torch.softmax(un2, 1).detach(), 1)
+        unl_cps = (
+            0.5 * ce(un1, pu2) + 0.5 * dice_loss(pu2.unsqueeze(1), un1)
+            + 0.5 * ce(un2, pu1)
+            + 0.5 * dice_loss(pu1.unsqueeze(1), un2))     # :241-245
+
+        w = 0.1 * sigmoid_rampup(t // 150, 200.0)         # :247
+        loss = sup + w * unl_cps + w * labeled_cps        # :250
+        o1_.zero_grad()
+        o2_.zero_grad()
+        loss.backward()                                   # :255
+        o1_.step()
+        o2_.step()                                        # :260-261
+        losses.append(float(loss))
+        sups.append(float(sup))
+        lcpss.append(float(labeled_cps))
+        ucpss.append(float(unl_cps))
+    return (np.array(losses), np.array(sups), np.array(lcpss),
+            np.array(ucpss))
+
+
+@pytest.mark.slow
+def test_cps_train_trajectory_matches_reference():
+    batches, _ = _make_batches()
+    _, _, _, state0 = _cps_models_and_state()
+    inits = [
+        (jax.tree.map(np.asarray, state0.params),
+         jax.tree.map(np.asarray, state0.batch_stats)),
+        (jax.tree.map(np.asarray, state0.second.params),
+         jax.tree.map(np.asarray, state0.second.batch_stats)),
+    ]
+    j_loss, j_sup, j_lcps, j_ucps = _jax_cps_trajectory(batches)
+    t_loss, t_sup, t_lcps, t_ucps = _torch_cps_trajectory(inits, batches)
+
+    print("\nstep |  jax loss  | torch loss |   diff")
+    for t in range(N_STEPS):
+        print(f"{t:4d} | {j_loss[t]:.6f} | {t_loss[t]:.6f} | "
+              f"{j_loss[t] - t_loss[t]:+.2e}")
+
+    np.testing.assert_allclose(j_loss, t_loss, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(j_sup, t_sup, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(j_lcps, t_lcps, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(j_ucps, t_ucps, rtol=0, atol=5e-3)
+    assert t_loss[-1] < t_loss[0] and j_loss[-1] < j_loss[0]

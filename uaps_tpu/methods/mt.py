@@ -59,8 +59,13 @@ def make_train_step(cfg, model, tx, axis_name=None):
         d1, d2, n_key, dt_key = base.device_keys(
             (d1, d2, n_key, dt_key), axis_name)
 
-        # teacher forward (no grad path; its own stats stream)
-        ema_in = teacher_noise(n_key, batch["uimage"])
+        # teacher forward (no grad path; its own stats stream).
+        # "tnoise" batch hook: tests feed the SAME noise draw to torch
+        # and jax for trajectory equivalence (like uaps's "mix_w")
+        if "tnoise" in batch:
+            ema_in = batch["uimage"] + batch["tnoise"]
+        else:
+            ema_in = teacher_noise(n_key, batch["uimage"])
         ema_logits, new_ema_bs = base.apply_train(
             model, state.ema_params, state.ema_batch_stats, ema_in,
             rngs={"dropout": dt_key})

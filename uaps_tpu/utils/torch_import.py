@@ -50,6 +50,17 @@ def _decoder(prefix: str):
     return m
 
 
+def _ds_decoder(prefix: str):
+    """Decoder_mcps (m_unet.py:156-210): _decoder plus the multi-scale
+    deep-supervision heads. The reference also declares out_conv_dp4 but
+    never calls it (dead code, omitted here — ARCHITECTURE.md deviation);
+    load_state_dict(strict=False) tolerates it in either direction."""
+    m = _decoder(prefix)
+    for i in (1, 2, 3):
+        m[f"out_conv_dp{i}"] = f"{prefix}.out_conv_dp{i}"
+    return m
+
+
 def _model_map(flax_params) -> Dict:
     """Name map keyed by the top-level flax modules present."""
     m = {}
@@ -59,7 +70,13 @@ def _model_map(flax_params) -> Dict:
         elif top == "decoder":
             m["decoder"] = _decoder("decoder")
         elif top == "main_decoder":
-            m["main_decoder"] = _decoder("main_decoder")
+            sub = flax_params[top]
+            if "out_conv_dp1" in sub:
+                # DeepSupervisionUNet (UNet_f/g/h, the CPS net): the
+                # torch module is named 'decoder' (m_unet.py:277)
+                m[top] = _ds_decoder("decoder")
+            else:
+                m[top] = _decoder("main_decoder")
         elif top.startswith("aux_decoder"):
             m[top] = _decoder(top)
         else:

@@ -11,8 +11,11 @@
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo || exit 1
 
-echo "=== legs in one process: control, chain, pack, chain+pack ==="
-timeout 4500 python -u scripts/tpu_step_ab.py \
-    auto chain auto@pack=1 chain@pack=1 2>&1 | tail -10
+echo "=== pool bwd probe (f32-arithmetic mask rewrite) ==="
+timeout 1800 python -u scripts/tpu_pool_probe.py 2>&1 | grep -E "OK|FAILED|>>"
+
+echo "=== legs in one process: control, chain, pack, chain+pack, pool ==="
+timeout 5400 python -u scripts/tpu_step_ab.py \
+    auto chain auto@pack=1 chain@pack=1 auto@pool=pallas 2>&1 | tail -12
 
 echo "=== session done ==="

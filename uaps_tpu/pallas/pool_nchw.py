@@ -88,8 +88,8 @@ def _bwd_kernel(x_ref, g_ref, o_ref, *, c, rows, width):
     rm = jnp.maximum(zl, zr)
     cm = jnp.maximum(rm, _roll_m1(rm))          # window max at even lanes
     lane = jax.lax.broadcasted_iota(jnp.int32, (c, r2, width), 2)
-    even = (lane % 2) == 0
-    pm = jnp.where(even, cm, _roll_p1(cm))      # window max at EVERY lane
+    evenf = jnp.where(lane % 2 == 0, 1.0, 0.0)  # f32 0/1 parity mask
+    pm = evenf * cm + (1.0 - evenf) * _roll_p1(cm)  # window max everywhere
     # cotangent at every lane of its window
     g = g_ref[0].astype(jnp.float32)
     ge = jax.lax.dot_general(
@@ -99,18 +99,23 @@ def _bwd_kernel(x_ref, g_ref, o_ref, *, c, rows, width):
     # first-in-row-major-order tie routing. Window order:
     #   (2i,2j)=zl@even, (2i,2j+1)=zl@odd, (2i+1,2j)=zr@even,
     #   (2i+1,2j+1)=zr@odd
-    eql = (zl == pm).astype(jnp.float32)
-    eqr = (zr == pm).astype(jnp.float32)
-    prevl = _roll_p1(eql) > 0.5                 # eql at lane j-1
-    prevr = _roll_p1(eqr) > 0.5
-    nextl = _roll_m1(eql) > 0.5                 # eql at lane j+1
-    eqlb, eqrb = eql > 0.5, eqr > 0.5
+    # All mask algebra stays in f32 0/1 arithmetic (AND=a*b,
+    # OR=max(a,b), NOT=1-a): Mosaic on this toolchain rejects the i1
+    # vector network ("Unsupported target bitwidth for truncation",
+    # r4 probe) but compare->where->f32 is the conv kernels' proven
+    # pattern.
+    eql = jnp.where(zl == pm, 1.0, 0.0)
+    eqr = jnp.where(zr == pm, 1.0, 0.0)
+    prevl = _roll_p1(eql)                       # eql at lane j-1
+    prevr = _roll_p1(eqr)
+    nextl = _roll_m1(eql)                       # eql at lane j+1
     # any zl position of THIS window equal to the max (per lane parity)
-    anyl = jnp.where(even, eqlb | nextl, prevl | eqlb)
-    sell = eqlb & (even | ~prevl)
-    selr = eqrb & ~anyl & (even | ~prevr)
-    dxl = jnp.where(sell, ge, 0.0)
-    dxr = jnp.where(selr, ge, 0.0)
+    anyl = jnp.minimum(
+        evenf * (eql + nextl) + (1.0 - evenf) * (prevl + eql), 1.0)
+    sell = eql * jnp.maximum(evenf, 1.0 - prevl)
+    selr = eqr * (1.0 - anyl) * jnp.maximum(evenf, 1.0 - prevr)
+    dxl = ge * sell
+    dxr = ge * selr
     dx = jnp.concatenate([dxl, dxr], axis=2).reshape(c, rows, width)
     o_ref[0] = dx.astype(o_ref.dtype)
 

@@ -81,13 +81,19 @@ def parse_trace(out_dir: str, steps: int):
 
 
 def main():
-    backend = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    variant = sys.argv[1] if len(sys.argv) > 1 else "auto"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/uaps_profile"
+    # same variant@flags syntax as tpu_step_ab.py (pack=1, pool=, drop=)
+    backend, _, flags = variant.partition("@")
+    flag_kv = dict(f.split("=", 1) for f in flags.split(",") if "=" in f)
     cfg = preset("neu", method="uaps")
     cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
                                    image_size=IMAGE)
-    cfg.model = dataclasses.replace(cfg.model, compute_dtype="bfloat16",
-                                    conv_backend=backend)
+    cfg.model = dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16", conv_backend=backend,
+        packed_heads=flag_kv.get("pack") == "1",
+        pool_backend=flag_kv.get("pool", "auto"),
+        dropout_backend=flag_kv.get("drop", "auto"))
     method = get_method("uaps")
     state, model = method.init_state(cfg, jax.random.key(0))
     tx = mbase.make_optimizer(cfg.optim)

@@ -416,7 +416,9 @@ def max_pool_2x2(x: jax.Array, layout: str,
     """2x2/stride-2 max pool. `backend` is the conv_backend (its "xla"
     value marks the GSPMD multi-device mode where pallas_call must stay
     out of the jitted step); `pool_backend` picks the pool impl:
-      auto     XLA reduce_window everywhere (current default)
+      auto     NCHW Pallas fwd+bwd kernel on TPU where the shape gate
+               admits it (DEFAULT since the r4a A/B: 89.9 -> 85.6
+               ms/step faithful UAPS); XLA reduce_window elsewhere
       pallas   NCHW Pallas fwd+bwd kernel (pallas/pool_nchw.py) — kills
                the 256px select-and-scatter {1,0,3,2} transpose chain
                (~3.8 ms/step in the r2c profile)
@@ -424,7 +426,7 @@ def max_pool_2x2(x: jax.Array, layout: str,
       xla      plain reduce_window"""
     if layout == "nchw":
         h, w = x.shape[2:4]
-        if pool_backend == "pallas" and backend != "xla":
+        if pool_backend in ("auto", "pallas") and backend != "xla":
             from uaps_tpu.pallas.pool_nchw import (max_pool_2x2_nchw,
                                                    pool_pallas_ok)
             if pool_pallas_ok(x) and jax.devices()[0].platform == "tpu":

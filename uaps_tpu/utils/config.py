@@ -93,13 +93,14 @@ class ModelConfig:
     # threefry mask + select) | "pallas" (force the fused kernel: on-core
     # PRNG, mask-regenerating VJP — no stored mask residual)
     dropout_backend: str = "auto"
-    # NCHW 2x2 max-pool impl: "auto" (XLA reduce_window) | "pallas"
-    # (pallas/pool_nchw.py fwd+bwd kernel — targets the ~3.8 ms/step
-    # select-and-scatter transpose chain the r2c profile found;
-    # WARNING: r3a on-chip A/B — this toolchain's Mosaic REJECTS the
-    # kernel, tpu_compile_helper exits 1; works in interpret mode only,
-    # docs/PERF.md "Round 3a") | "maskpool" (XLA fwd + elementwise mask
-    # bwd, measured neutral) | "xla"
+    # NCHW 2x2 max-pool impl: "auto"/"pallas" (pallas/pool_nchw.py
+    # fwd+bwd kernel on TPU where the shape gate admits it — DEFAULT
+    # since r4a: after the f32-arithmetic mask rewrite (Mosaic rejects
+    # i1 vector ops, "Unsupported target bitwidth for truncation") it
+    # compiles on-chip and the step A/B measured 89.9 -> 85.6 ms/step
+    # by killing the 256px select-and-scatter {1,0,3,2} transpose
+    # chain; XLA reduce_window elsewhere) | "maskpool" (XLA fwd +
+    # elementwise mask bwd, measured neutral) | "xla" (reduce_window)
     pool_backend: str = "auto"
     # NCHW BatchNorm batch-stats layout: "auto"/"4d" (nn.BatchNorm on
     # the 4-D tensor) | "flat" (reduce the conv's flat [B,C,H*W] view —

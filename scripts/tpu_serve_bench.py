@@ -25,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 
 import jax  # noqa: E402
 
+from uaps_tpu.methods import get_method  # noqa: E402
 from uaps_tpu.serve import InferenceEngine  # noqa: E402
 from uaps_tpu.server import AsyncBatcher  # noqa: E402
 from uaps_tpu.utils.config import preset  # noqa: E402
@@ -38,8 +39,13 @@ def main():
     rng = np.random.default_rng(0)
     imgs = (rng.random((64, 256, 256, 3)) * 255).astype(np.uint8)
 
+    # no trained checkpoint exists in this environment: serve freshly-
+    # initialized weights (latency is weight-value independent)
+    state0, _ = get_method("uaps").init_state(cfg, jax.random.key(0))
+    weights = dict(params=state0.params, batch_stats=state0.batch_stats)
+
     # ---- single-image latency (bs=1 engine, like the notebooks) ----
-    eng1 = InferenceEngine(cfg, batch_size=1)
+    eng1 = InferenceEngine(cfg, batch_size=1, **weights)
     eng1.predict(imgs[:1])  # compile
     lat = []
     for i in range(64):
@@ -54,7 +60,7 @@ def main():
     print("single-image:", single, flush=True)
 
     # ---- batched server throughput ----
-    eng = InferenceEngine(cfg, batch_size=16)
+    eng = InferenceEngine(cfg, batch_size=16, **weights)
     eng.predict(imgs[:16])  # compile
     batcher = AsyncBatcher(eng)
     n_req = 512

@@ -73,7 +73,7 @@ def main():
         list(ex.map(client, range(n_req)))
     wall = time.perf_counter() - t0
     stats = batcher.stats()
-    batcher.close()
+    batcher.shutdown()
     print("batched:", stats, f"wall {wall:.2f}s", flush=True)
 
     out = {

@@ -19,8 +19,11 @@ cancels in the slope (PERF.md methodology).
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_wgrad_anatomy.py [probe ...]
 """
 import functools
+import os
 import sys
 import time
+
+INTERP = os.environ.get("WGA_INTERP") == "1"   # CPU math check mode
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +48,8 @@ def _kernel(x_ref, g_ref, o_ref, *, slab, width, cin, cout, stage):
     g = g_ref[0].reshape(cout, slab * width)
     if stage == "dmaonly":
         # touch both operands so the DMAs are not dead-code-eliminated
-        o_ref[0] += (x[:, 0, :1] * 0.0 + g[0, 0]).astype(o_ref.dtype)
+        o_ref[...] += (jnp.sum(x[:, :1, :].astype(jnp.float32))
+                       + jnp.sum(g[:1].astype(jnp.float32))) * 0.0
         return
     if stage == "mm1":
         xs = x[:, _HOFF + 1:_HOFF + 1 + slab, :].reshape(cin, slab * width)
@@ -55,7 +59,7 @@ def _kernel(x_ref, g_ref, o_ref, *, slab, width, cin, cout, stage):
         return
     if stage == "mm9":
         gs = (g, g, g)
-    else:  # roll == production math
+    else:  # roll / g3 / one — full production math
         gf = g.astype(jnp.float32)
         n = jax.lax.broadcasted_iota(jnp.int32, gf.shape, 1)
         g0 = jnp.where(n % width == width - 1, 0.0,
@@ -63,6 +67,30 @@ def _kernel(x_ref, g_ref, o_ref, *, slab, width, cin, cout, stage):
         g2 = jnp.where(n % width == 0, 0.0,
                        pltpu.roll(gf, 1, 1)).astype(g.dtype)
         gs = (g0, g, g2)
+    if stage == "g3":
+        # pack the 3 dw taps into matmul N: G3 [3Co, N] (sublane concat
+        # of the already-materialized rolls), ONE [cin,N]x[N,3Co] matmul
+        # per dh -> [cin, 3Co] = all three dw taps. o_ref [3, cin, 3Co].
+        g3 = jnp.concatenate(gs, axis=0)
+        for dh in range(3):
+            xs = x[:, _HOFF + dh:_HOFF + dh + slab, :].reshape(
+                cin, slab * width)
+            o_ref[dh] += jax.lax.dot_general(
+                xs, g3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return
+    if stage == "one":
+        # additionally pack the 3 dh slices into matmul M: X3 [3cin, N]
+        # x G3 [3Co, N] -> ONE [3cin, 3Co] matmul = all nine taps.
+        g3 = jnp.concatenate(gs, axis=0)
+        x3 = jnp.concatenate(
+            [x[:, _HOFF + dh:_HOFF + dh + slab, :].reshape(
+                cin, slab * width) for dh in range(3)], axis=0)
+        o_ref[...] += jax.lax.dot_general(
+            x3, g3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).reshape(o_ref.shape).astype(o_ref.dtype)
+        return
     for dh in range(3):
         xs = x[:, _HOFF + dh:_HOFF + dh + slab, :].reshape(
             cin, slab * width)
@@ -76,6 +104,8 @@ def probe_call(stage, xp, g):
     slab = _pick_slab(H)
     kernel = functools.partial(_kernel, slab=slab, width=W, cin=CIN,
                                cout=COUT, stage=stage)
+    out_shape = {"g3": (3, CIN, 3 * COUT),
+                 "one": (3 * CIN, 3 * COUT)}.get(stage, (9, CIN, COUT))
     return pl.pallas_call(
         kernel,
         grid=(B, H // slab),
@@ -87,10 +117,12 @@ def probe_call(stage, xp, g):
             pl.BlockSpec((1, COUT, slab, W), lambda bi, si: (bi, 0, si, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((9, CIN, COUT), lambda bi, si: (0, 0, 0),
+        out_specs=pl.BlockSpec(out_shape,
+                               lambda bi, si: (0,) * len(out_shape),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9, CIN, COUT), jnp.float32),
-        compiler_params=_wgrad_compiler_params(),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        compiler_params=None if INTERP else _wgrad_compiler_params(),
+        interpret=INTERP,
     )(xp, g)
 
 
@@ -119,9 +151,26 @@ def time_stage(stage, xp, g, n=12):
 
 
 def main():
-    assert jax.devices()[0].platform == "tpu"
-    which = sys.argv[1:] or ["dmaonly", "mm1", "mm9", "roll"]
     rng = np.random.default_rng(0)
+    if INTERP:
+        # CPU math check: the packed probes must reproduce the
+        # production [9, cin, cout] wgrad up to layout
+        jax.config.update("jax_platforms", "cpu")
+        xp = jnp.asarray(rng.standard_normal((B, CIN, H + 8, W)),
+                         jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, COUT, H, W)), jnp.float32)
+        ref = np.asarray(probe_call("roll", xp, g))            # [9,ci,co]
+        g3 = np.asarray(probe_call("g3", xp, g))               # [3,ci,3co]
+        one = np.asarray(probe_call("one", xp, g))             # [3ci,3co]
+        g3u = g3.reshape(3, CIN, 3, COUT).transpose(0, 2, 1, 3)
+        oneu = one.reshape(3, CIN, 3, COUT).transpose(0, 2, 1, 3)
+        refu = ref.reshape(3, 3, CIN, COUT)
+        np.testing.assert_allclose(g3u, refu, rtol=1e-5)
+        np.testing.assert_allclose(oneu, refu, rtol=1e-5)
+        print("interpret math check OK (g3, one == roll)")
+        return
+    assert jax.devices()[0].platform == "tpu"
+    which = sys.argv[1:] or ["dmaonly", "mm1", "mm9", "roll", "g3", "one"]
     xp = jnp.asarray(rng.standard_normal((B, CIN, H + 8, W)), jnp.bfloat16)
     g = jnp.asarray(rng.standard_normal((B, COUT, H, W)), jnp.bfloat16)
     for stage in which:

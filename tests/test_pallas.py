@@ -318,6 +318,10 @@ class TestConv3x3Kernels:
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw_wgrad(x, g, True, variant)), ref_w,
                 rtol=1e-4, atol=1e-4)
+        # dwnp1 is wgrad-only (all nine taps in ONE packed matmul)
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_nchw_wgrad(x, g, True, "dwnp1")), ref_w,
+            rtol=1e-4, atol=1e-4)
 
     def test_wgrad_variant_override_matches(self, rng, monkeypatch):
         """UAPS_WGRAD_VARIANT decouples the wgrad kernel from the forward
@@ -337,7 +341,7 @@ class TestConv3x3Kernels:
 
         monkeypatch.delenv("UAPS_WGRAD_VARIANT", raising=False)
         ref_dx, ref_dw = grads("dwnp")
-        for override in ("taps", "im2col", "dhdw", "dwnp"):
+        for override in ("taps", "im2col", "dhdw", "dwnp", "dwnp1"):
             monkeypatch.setenv("UAPS_WGRAD_VARIANT", override)
             for fwd in ("dwnp", "taps"):   # both wpad classes
                 dx, dw = grads(fwd)

@@ -361,19 +361,56 @@ def _wgrad_kernel_dwnp(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
                 preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _wgrad_kernel_dwnp1(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, Cin, slab+8, W] (NO W pad), g_ref [1, Co, slab, W],
+    o_ref [3*Cin, 3*Cout] accumulated over the sequential grid.
+
+    ALL NINE taps in ONE matmul: the r4 anatomy
+    (scripts/tpu_wgrad_anatomy.py, docs/PERF.md "Round 4b/4c") showed
+    the 256px wgrad is matmul-COUNT-bound (~0.054 ms per tiny-M/N
+    [32,N]x[N,16] contraction, 9 of them = 0.43 of the 0.677 ms call).
+    The dw operands (g and its two masked f32 lane-rolls) are already
+    materialized in the dwnp wgrad, so packing them into matmul N (G3 =
+    sublane concat -> [N, 3Co]) and the three dh slices into M (X3 ->
+    [3Cin, N]) costs only two sublane concats and collapses 9 matmuls
+    into one [3Cin,N]x[N,3Co]. Layout: out[dh*Cin+ci, dw*Cout+co] =
+    dW[dh,dw,ci,co], unpacked by the caller (tiny [3C,3Co] f32)."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    g = g_ref[0].reshape(cout, slab * width)
+    gf = g.astype(jnp.float32)
+    n = jax.lax.broadcasted_iota(jnp.int32, gf.shape, 1)
+    g0 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(gf, slab * width - 1, 1)).astype(g.dtype)
+    g2 = jnp.where(n % width == 0, 0.0,
+                   pltpu.roll(gf, 1, 1)).astype(g.dtype)
+    g3 = jnp.concatenate([g0, g, g2], axis=0)
+    x3 = jnp.concatenate(
+        [x[:, _HOFF + dh:_HOFF + dh + slab, :].reshape(cin, slab * width)
+         for dh in range(3)], axis=0)
+    o_ref[...] += jax.lax.dot_general(
+        x3, g3, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        interpret: bool = False,
                        variant: str = "im2col",
                        prepadded: bool = False) -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
-    if variant not in VARIANTS:
+    if variant not in VARIANTS and variant != "dwnp1":
+        # dwnp1 is wgrad-only (no forward analog) — reachable via
+        # UAPS_WGRAD_VARIANT, not UAPS_CONV_VARIANT
         raise ValueError(f"unknown conv variant {variant!r}; "
                          f"expected one of {sorted(VARIANTS)}")
     if variant == "fullh":
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
-    wpad = 0 if variant == "dwnp" else 1
+    wpad = 0 if variant in ("dwnp", "dwnp1") else 1
     b, cin, h, width = x.shape
     if prepadded:
         h, width = h - 8, width - 2 * wpad
@@ -384,10 +421,13 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
     kernel = functools.partial(
         {"im2col": _wgrad_kernel_im2col,
          "dhdw": _wgrad_kernel_dhdw,
-         "dwnp": _wgrad_kernel_dwnp}.get(variant, _wgrad_kernel),
+         "dwnp": _wgrad_kernel_dwnp,
+         "dwnp1": _wgrad_kernel_dwnp1}.get(variant, _wgrad_kernel),
         slab=slab, width=width, cin=cin, cout=cout)
     out_shape = {"im2col": (9 * cin, cout),
-                 "dhdw": (3 * cout, 3 * cin)}.get(variant, (9, cin, cout))
+                 "dhdw": (3 * cout, 3 * cin),
+                 "dwnp1": (3 * cin, 3 * cout)}.get(variant,
+                                                   (9, cin, cout))
     flat = pl.pallas_call(
         kernel,
         grid=(b, h // slab),
@@ -411,6 +451,9 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
     if variant == "dhdw":
         # [3Co, 3C] rows dh*Co+co, cols dw*C+c -> [3, 3, Cin, Cout]
         return flat.reshape(3, cout, 3, cin).transpose(0, 2, 3, 1)
+    if variant == "dwnp1":
+        # [3C, 3Co] rows dh*C+c, cols dw*Co+co -> [3, 3, Cin, Cout]
+        return flat.reshape(3, cin, 3, cout).transpose(0, 2, 1, 3)
     return flat.reshape(3, 3, cin, cout)
 
 
@@ -634,7 +677,7 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
             # the residual was padded for the FORWARD variant's wpad;
             # adjust the W pad to what the override's kernel expects
             fw = 0 if variant == "dwnp" else 1
-            ww = 0 if wgv == "dwnp" else 1
+            ww = 0 if wgv in ("dwnp", "dwnp1") else 1
             if ww > fw:
                 xw = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (1, 1)))
             elif ww < fw:

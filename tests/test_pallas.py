@@ -311,7 +311,7 @@ class TestConv3x3Kernels:
         g = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
         ref_f = np.asarray(conv3x3_nchw(x, w, True, "taps"))
         ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
-        for variant in ("im2col", "dhdw", "flat", "dwout", "dwnp"):
+        for variant in ("im2col", "dhdw", "flat", "dwout", "dwnp", "dwm"):
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw(x, w, True, variant)), ref_f,
                 rtol=1e-5, atol=1e-5)
@@ -343,7 +343,7 @@ class TestConv3x3Kernels:
         ref_dx, ref_dw = grads("dwnp")
         for override in ("taps", "im2col", "dhdw", "dwnp", "dwnp1"):
             monkeypatch.setenv("UAPS_WGRAD_VARIANT", override)
-            for fwd in ("dwnp", "taps"):   # both wpad classes
+            for fwd in ("dwnp", "taps", "dwm"):   # both wpad classes + dwm
                 dx, dw = grads(fwd)
                 np.testing.assert_allclose(np.asarray(dx),
                                            np.asarray(ref_dx),

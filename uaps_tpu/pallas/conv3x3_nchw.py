@@ -39,7 +39,7 @@ _HOFF = 3  # block-relative row of true row si*slab - 1
 # every selectable kernel variant; a typo'd UAPS_CONV_VARIANT must error,
 # not silently run 'taps' labeled as something else
 VARIANTS = frozenset(
-    {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp", "fullh"})
+    {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp", "dwm", "fullh"})
 
 # Experiment knobs, read ONCE at import (A/B harnesses run one config
 # per process): UAPS_CONV_DIMSEM=1 marks the fwd grid dims parallel
@@ -114,6 +114,35 @@ def _fwd_kernel_dwout(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
     a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
     a2 = jnp.where(n % width == width - 1, 0.0,
                    pltpu.roll(accs[2], slab * width - 1, 1))  # roll by -1
+    o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
+
+
+def _fwd_kernel_dwm(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, C, slab+8, W] (NO W pad — dwnp loads), w_ref
+    [3, 3*Cout, Cin] (row dw*Co+co), o_ref [1, Co, slab*W] (flat).
+
+    dwnp body with the three per-dw matmuls of each dh PACKED INTO
+    MATMUL M: MXU time scales with K*N*ceil(M/128) (measured r2,
+    _fwd_kernel_dhdw note), so one [3Co, C] x [C, N] matmul computes
+    all three dw partials for the SAME cycles as one of dwnp's nine —
+    3 matmuls/block instead of 9, no new operand materialization (the
+    dh slices and the masked-roll epilogue are exactly dwnp's; the
+    partials come apart as cheap f32 sublane slices). r4 follow-up to
+    the wgrad anatomy's matmul-count finding (docs/PERF.md)."""
+    x = x_ref[0]
+    accs = [jnp.zeros((cout, slab * width), jnp.float32) for _ in range(3)]
+    for dh in range(3):
+        xs = x[:, _HOFF + dh:_HOFF + dh + slab, :]
+        xr = xs.reshape(cin, slab * width)
+        p = jax.lax.dot_general(
+            w_ref[dh], xr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [3Co, slab*W]
+        for dw in range(3):
+            accs[dw] = accs[dw] + p[dw * cout:(dw + 1) * cout]
+    n = jax.lax.broadcasted_iota(jnp.int32, (cout, slab * width), 1)
+    a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
+    a2 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(accs[2], slab * width - 1, 1))
     o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
 
 
@@ -209,16 +238,27 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
             x = x[:, :, 4:-4, 1:-1]
         y = conv3x3_nchw_fullh(x, w, interpret)
         return y if out_dtype in (None, y.dtype) else y.astype(out_dtype)
-    wpad = 0 if variant == "dwnp" else 1
     b, cin, h, width = x.shape
+    cout = w.shape[-1]
+    if variant == "dwm" and cout % 8 != 0:
+        # the per-dw partials come apart as f32 sublane slices at
+        # offsets {0, Co, 2Co}: a non-8-multiple Co (the n_cls logits
+        # heads) would force sublane relayouts — use dwnp loads there
+        variant = "dwnp"
+    wpad = 0 if variant in ("dwnp", "dwm") else 1
     if prepadded:
         h, width = h - 8, width - 2 * wpad
-    cout = w.shape[-1]
     out_dtype = out_dtype or x.dtype
     slab = _pick_slab(h)
     xp = x if prepadded else jnp.pad(
         x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
-    if variant == "dhdw":
+    if variant == "dwm":
+        # W3[dh][dw*Co+co, c] = w[dh, dw, c, co]
+        wp = w.transpose(0, 1, 3, 2).reshape(3, 3 * cout, cin).astype(
+            x.dtype)
+        kernel = functools.partial(_fwd_kernel_dwm, slab=slab,
+                                   width=width, cin=cin, cout=cout)
+    elif variant == "dhdw":
         # W2[dh*Co+co, dw*C+c] = w[dh, dw, c, co]
         wp = w.transpose(0, 3, 1, 2).reshape(3 * cout, 3 * cin).astype(
             x.dtype)
@@ -238,7 +278,7 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
             kernel = functools.partial(_fwd_kernel_dwout, slab=slab,
                                        width=width, cin=cin, cout=cout,
                                        wpad=0)
-    if variant in ("dwout", "flat", "dwnp"):
+    if variant in ("dwout", "flat", "dwnp", "dwm"):
         # flat output block: [B, Co, H*W] viewed as [B, Co, H, W] at the
         # end is a bitcast — kills the in-kernel acc->3D write relayout
         out_specs = pl.BlockSpec((1, cout, slab * width),
@@ -410,7 +450,7 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
-    wpad = 0 if variant in ("dwnp", "dwnp1") else 1
+    wpad = 0 if variant in ("dwnp", "dwnp1", "dwm") else 1
     b, cin, h, width = x.shape
     if prepadded:
         h, width = h - 8, width - 2 * wpad
@@ -422,12 +462,14 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         {"im2col": _wgrad_kernel_im2col,
          "dhdw": _wgrad_kernel_dhdw,
          "dwnp": _wgrad_kernel_dwnp,
+         "dwm": _wgrad_kernel_dwnp1,   # dwm couples to the packed wgrad
          "dwnp1": _wgrad_kernel_dwnp1}.get(variant, _wgrad_kernel),
         slab=slab, width=width, cin=cin, cout=cout)
     out_shape = {"im2col": (9 * cin, cout),
                  "dhdw": (3 * cout, 3 * cin),
-                 "dwnp1": (3 * cin, 3 * cout)}.get(variant,
-                                                   (9, cin, cout))
+                 "dwnp1": (3 * cin, 3 * cout),
+                 "dwm": (3 * cin, 3 * cout)}.get(variant,
+                                                 (9, cin, cout))
     flat = pl.pallas_call(
         kernel,
         grid=(b, h // slab),
@@ -451,7 +493,7 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
     if variant == "dhdw":
         # [3Co, 3C] rows dh*Co+co, cols dw*C+c -> [3, 3, Cin, Cout]
         return flat.reshape(3, cout, 3, cin).transpose(0, 2, 3, 1)
-    if variant == "dwnp1":
+    if variant in ("dwnp1", "dwm"):
         # [3C, 3Co] rows dh*C+c, cols dw*Co+co -> [3, 3, Cin, Cout]
         return flat.reshape(3, cin, 3, cout).transpose(0, 2, 1, 3)
     return flat.reshape(3, 3, cin, cout)
@@ -593,13 +635,17 @@ def _vjp_fwd(x, w, interpret, variant):
 
 
 def _wgrad_variant(fwd_variant: str) -> str:
-    """The wgrad kernel variant defaults to the forward's, but is a
-    DIFFERENT contraction ([9C or 3Co rows] x [N=slab*W]) whose best
-    tiling need not match the forward's — UAPS_WGRAD_VARIANT overrides it
-    per-process for step-level A/Bs (VERDICT r2 #4; scripts/
-    tpu_session_r3b.sh)."""
+    """The wgrad kernel variant defaults by forward variant, overridable
+    per-process via UAPS_WGRAD_VARIANT for step-level A/Bs (VERDICT r2
+    #4; scripts/tpu_session_r3b.sh). Since r4: dwnp/dwm forwards couple
+    to the PACKED one-matmul wgrad 'dwnp1' — the r4 anatomy showed the
+    wgrad is matmul-count-bound and the full-step A/B measured
+    **85.6 -> 78.8 ms/step** (scripts/tpu_session_r4e.sh)."""
     import os
-    return os.environ.get("UAPS_WGRAD_VARIANT", "") or fwd_variant
+    env = os.environ.get("UAPS_WGRAD_VARIANT", "")
+    if env:
+        return env
+    return "dwnp1" if fwd_variant in ("dwnp", "dwm") else fwd_variant
 
 
 def _vjp_bwd(interpret, variant, res, g):
@@ -656,7 +702,7 @@ def _vjp_fwd_nchw(x, w, interpret, variant, out_dtype):
     # would otherwise re-pad x in the backward (profiled ~2.3 ms/step of
     # duplicate pad copies). XLA CSEs the forward's pad with this one.
     # (dwnp carries no W padding — see _fwd_kernel_dwout wpad=0.)
-    wp = 0 if variant == "dwnp" else 1
+    wp = 0 if variant in ("dwnp", "dwm") else 1
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (wp, wp)))
     y = conv3x3_nchw(xp, w, interpret, variant, out_dtype, prepadded=True)
     return y, (xp, w)
@@ -676,7 +722,7 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
         if wgv != variant:
             # the residual was padded for the FORWARD variant's wpad;
             # adjust the W pad to what the override's kernel expects
-            fw = 0 if variant == "dwnp" else 1
+            fw = 0 if variant in ("dwnp", "dwm") else 1
             ww = 0 if wgv in ("dwnp", "dwnp1") else 1
             if ww > fw:
                 xw = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (1, 1)))
@@ -685,7 +731,8 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
         dw = conv3x3_nchw_wgrad(xw, g, interpret, wgv,
                                 prepadded=True).astype(w.dtype)
     else:
-        x = xp[:, :, 4:-4] if variant == "dwnp" else xp[:, :, 4:-4, 1:-1]
+        x = (xp[:, :, 4:-4] if variant in ("dwnp", "dwm")
+             else xp[:, :, 4:-4, 1:-1])
         dx = _xla_conv_nchw(g, w_rot.astype(g.dtype))
         _, wvjp = jax.vjp(lambda ww: _xla_conv_nchw(x, ww), w)
         dw = wvjp(g.astype(x.dtype))[0]

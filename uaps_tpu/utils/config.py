@@ -69,14 +69,16 @@ class ModelConfig:
     #   "xla":   plain XLA everywhere (the GSPMD >1-device setting,
     #            where pallas_call would run replicated)
     conv_backend: str = "auto"
-    # conv kernel variant (dwnp|taps|im2col|dhdw|dwout|flat|fullh —
+    # conv kernel variant (dwm|dwnp|taps|im2col|dhdw|dwout|flat|fullh —
     # PERF.md ablations); env UAPS_CONV_VARIANT overrides at config
     # construction time only. r2 on-chip step A/B (faithful UAPS step,
-    # bf16 bs16): dwnp 86.0 ms vs taps 94.2 / dwout 94.0 / flat 95.0 —
-    # the zero-W-pad lane-aligned loads + masked f32 accumulator rolls
-    # are the win the kernel-anatomy study predicted
+    # bf16 bs16): dwnp 86.0 ms vs taps 94.2 / dwout 94.0 / flat 95.0.
+    # r4: "dwm" (dwnp with the three per-dw matmuls packed into matmul
+    # M — MXU time ∝ K·N·ceil(M/128), so 3 matmuls/block instead of 9
+    # for free) + the coupled dwnp1 packed wgrad measured 79.5 -> 76.6
+    # ms/step and is the new default
     conv_variant: str = dataclasses.field(
-        default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT", "dwnp"))
+        default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT", "dwm"))
     # out_conv (16->num_classes logits head) kernel, independent of
     # conv_variant: taps|im2col|dhdw pallas variants, or "xla"
     # (to_nhwc + XLA NHWC conv). A/B (PERF.md r2): taps 98.7, im2col

@@ -311,17 +311,20 @@ class TestConv3x3Kernels:
         g = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
         ref_f = np.asarray(conv3x3_nchw(x, w, True, "taps"))
         ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
-        for variant in ("im2col", "dhdw", "flat", "dwout", "dwnp", "dwm"):
+        for variant in ("im2col", "dhdw", "flat", "dwout", "dwnp",
+                        "dwm", "dwmf"):
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw(x, w, True, variant)), ref_f,
                 rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(
                 np.asarray(conv3x3_nchw_wgrad(x, g, True, variant)), ref_w,
                 rtol=1e-4, atol=1e-4)
-        # dwnp1 is wgrad-only (all nine taps in ONE packed matmul)
-        np.testing.assert_allclose(
-            np.asarray(conv3x3_nchw_wgrad(x, g, True, "dwnp1")), ref_w,
-            rtol=1e-4, atol=1e-4)
+        # dwnp1/dwnp1f are wgrad-only (all nine taps in ONE packed
+        # matmul; dwnp1f additionally on flat lane views)
+        for wg in ("dwnp1", "dwnp1f"):
+            np.testing.assert_allclose(
+                np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
+                rtol=1e-4, atol=1e-4)
 
     def test_wgrad_variant_override_matches(self, rng, monkeypatch):
         """UAPS_WGRAD_VARIANT decouples the wgrad kernel from the forward
@@ -341,9 +344,10 @@ class TestConv3x3Kernels:
 
         monkeypatch.delenv("UAPS_WGRAD_VARIANT", raising=False)
         ref_dx, ref_dw = grads("dwnp")
-        for override in ("taps", "im2col", "dhdw", "dwnp", "dwnp1"):
+        for override in ("taps", "im2col", "dhdw", "dwnp", "dwnp1",
+                         "dwnp1f"):
             monkeypatch.setenv("UAPS_WGRAD_VARIANT", override)
-            for fwd in ("dwnp", "taps", "dwm"):   # both wpad classes + dwm
+            for fwd in ("dwnp", "taps", "dwm", "dwmf"):
                 dx, dw = grads(fwd)
                 np.testing.assert_allclose(np.asarray(dx),
                                            np.asarray(ref_dx),

@@ -97,7 +97,7 @@ class PlateauScheduler:
 _MODEL_ENUMS = {
     "conv_backend": {"auto", "fused", "chain", "xla"},
     "conv_variant": {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp",
-                     "dwm", "fullh"},
+                     "dwm", "dwmf", "fullh"},
     "head_variant": {"taps", "im2col", "dhdw", "dwnp", "xla"},
     "dropout_backend": {"auto", "xla", "pallas"},
     "pool_backend": {"auto", "pallas", "maskpool", "xla"},

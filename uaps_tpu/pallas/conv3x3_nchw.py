@@ -39,7 +39,8 @@ _HOFF = 3  # block-relative row of true row si*slab - 1
 # every selectable kernel variant; a typo'd UAPS_CONV_VARIANT must error,
 # not silently run 'taps' labeled as something else
 VARIANTS = frozenset(
-    {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp", "dwm", "fullh"})
+    {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp", "dwm", "dwmf",
+     "fullh"})
 
 # Experiment knobs, read ONCE at import (A/B harnesses run one config
 # per process): UAPS_CONV_DIMSEM=1 marks the fwd grid dims parallel
@@ -146,6 +147,32 @@ def _fwd_kernel_dwm(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
 
 
+def _fwd_kernel_dwmf(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+    """x_ref [1, C, (slab+8)*W] — the FLAT lane view of the H-padded
+    no-W-pad input — w_ref [3, 3*Cout, Cin], o_ref [1, Co, slab*W].
+
+    dwm with the in-kernel sublane→lane relayout removed: slicing
+    [C, slab, W] rows out of a 3-D block and reshaping to [C, slab*W]
+    redistributes sublanes into lanes on every dh slice. On the flat
+    view each dh slice is a LANE slice at offset (3+dh)*W — a multiple
+    of 128 for any W%128==0 — so the matmul operand is an aligned tile
+    extraction with no data movement. Rolls/epilogue exactly dwm's."""
+    x = x_ref[0]
+    accs = [jnp.zeros((cout, slab * width), jnp.float32) for _ in range(3)]
+    for dh in range(3):
+        xr = x[:, (_HOFF + dh) * width:(_HOFF + dh) * width + slab * width]
+        p = jax.lax.dot_general(
+            w_ref[dh], xr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [3Co, slab*W]
+        for dw in range(3):
+            accs[dw] = accs[dw] + p[dw * cout:(dw + 1) * cout]
+    n = jax.lax.broadcasted_iota(jnp.int32, (cout, slab * width), 1)
+    a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
+    a2 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(accs[2], slab * width - 1, 1))
+    o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
+
+
 def _fwd_kernel_flat(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     """taps body with the FLAT [Co, slab*W] output block (no acc->3D
     write relayout); ablation point between taps and dwout."""
@@ -240,23 +267,24 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         return y if out_dtype in (None, y.dtype) else y.astype(out_dtype)
     b, cin, h, width = x.shape
     cout = w.shape[-1]
-    if variant == "dwm" and cout % 8 != 0:
+    if variant in ("dwm", "dwmf") and cout % 8 != 0:
         # the per-dw partials come apart as f32 sublane slices at
         # offsets {0, Co, 2Co}: a non-8-multiple Co (the n_cls logits
         # heads) would force sublane relayouts — use dwnp loads there
         variant = "dwnp"
-    wpad = 0 if variant in ("dwnp", "dwm") else 1
+    wpad = 0 if variant in ("dwnp", "dwm", "dwmf") else 1
     if prepadded:
         h, width = h - 8, width - 2 * wpad
     out_dtype = out_dtype or x.dtype
     slab = _pick_slab(h)
     xp = x if prepadded else jnp.pad(
         x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
-    if variant == "dwm":
+    if variant in ("dwm", "dwmf"):
         # W3[dh][dw*Co+co, c] = w[dh, dw, c, co]
         wp = w.transpose(0, 1, 3, 2).reshape(3, 3 * cout, cin).astype(
             x.dtype)
-        kernel = functools.partial(_fwd_kernel_dwm, slab=slab,
+        body = _fwd_kernel_dwmf if variant == "dwmf" else _fwd_kernel_dwm
+        kernel = functools.partial(body, slab=slab,
                                    width=width, cin=cin, cout=cout)
     elif variant == "dhdw":
         # W2[dh*Co+co, dw*C+c] = w[dh, dw, c, co]
@@ -278,7 +306,7 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
             kernel = functools.partial(_fwd_kernel_dwout, slab=slab,
                                        width=width, cin=cin, cout=cout,
                                        wpad=0)
-    if variant in ("dwout", "flat", "dwnp", "dwm"):
+    if variant in ("dwout", "flat", "dwnp", "dwm", "dwmf"):
         # flat output block: [B, Co, H*W] viewed as [B, Co, H, W] at the
         # end is a bitcast — kills the in-kernel acc->3D write relayout
         out_specs = pl.BlockSpec((1, cout, slab * width),
@@ -290,17 +318,26 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
                                  lambda bi, si: (bi, 0, si, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, cout, h, width), out_dtype)
+    if variant == "dwmf":
+        # feed the FLAT lane view: the [B,C,H+8,W]->[B,C,(H+8)*W]
+        # reshape is layout-preserving (an XLA bitcast), and every
+        # in-kernel dh slice becomes an aligned lane slice
+        xp = xp.reshape(b, cin, (h + 8) * width)
+        in_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(cin),
+             pl.Element((slab + 8) * width)),
+            lambda bi, si: (bi, 0, si * slab * width),
+            memory_space=pltpu.VMEM)
+    else:
+        in_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(cin), pl.Element(slab + 8),
+             pl.Element(width + 2 * wpad)),
+            lambda bi, si: (bi, 0, si * slab, 0),
+            memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         kernel,
         grid=(b, h // slab),
-        in_specs=[
-            pl.BlockSpec((pl.Element(1), pl.Element(cin),
-                          pl.Element(slab + 8),
-                          pl.Element(width + 2 * wpad)),
-                         lambda bi, si: (bi, 0, si * slab, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[in_spec, pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -436,21 +473,51 @@ def _wgrad_kernel_dwnp1(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _wgrad_kernel_dwnp1f(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
+    """FLAT twin of _wgrad_kernel_dwnp1: x_ref [1, Cin, (slab+8)*W]
+    (flat lane view), g_ref [1, Co, slab*W] (flat), o_ref [3C, 3Co].
+    The dh slices and the g center block are aligned lane extractions —
+    no sublane→lane relayouts anywhere in the kernel."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    g = g_ref[0]
+    gf = g.astype(jnp.float32)
+    n = jax.lax.broadcasted_iota(jnp.int32, gf.shape, 1)
+    g0 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(gf, slab * width - 1, 1)).astype(g.dtype)
+    g2 = jnp.where(n % width == 0, 0.0,
+                   pltpu.roll(gf, 1, 1)).astype(g.dtype)
+    g3 = jnp.concatenate([g0, g, g2], axis=0)
+    x3 = jnp.concatenate(
+        [x[:, (_HOFF + dh) * width:(_HOFF + dh) * width + slab * width]
+         for dh in range(3)], axis=0)
+    o_ref[...] += jax.lax.dot_general(
+        x3, g3, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+_WGRAD_ONLY = frozenset({"dwnp1", "dwnp1f"})
+
+
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        interpret: bool = False,
                        variant: str = "im2col",
                        prepadded: bool = False) -> jax.Array:
     """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
-    if variant not in VARIANTS and variant != "dwnp1":
-        # dwnp1 is wgrad-only (no forward analog) — reachable via
-        # UAPS_WGRAD_VARIANT, not UAPS_CONV_VARIANT
+    if variant not in VARIANTS and variant not in _WGRAD_ONLY:
+        # dwnp1/dwnp1f are wgrad-only (no forward analog) — reachable
+        # via UAPS_WGRAD_VARIANT, not UAPS_CONV_VARIANT
         raise ValueError(f"unknown conv variant {variant!r}; "
                          f"expected one of {sorted(VARIANTS)}")
     if variant == "fullh":
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
-    wpad = 0 if variant in ("dwnp", "dwnp1", "dwm") else 1
+    wpad = 0 if variant in ("dwnp", "dwnp1", "dwnp1f", "dwm",
+                            "dwmf") else 1
     b, cin, h, width = x.shape
     if prepadded:
         h, width = h - 8, width - 2 * wpad
@@ -463,17 +530,31 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
          "dhdw": _wgrad_kernel_dhdw,
          "dwnp": _wgrad_kernel_dwnp,
          "dwm": _wgrad_kernel_dwnp1,   # dwm couples to the packed wgrad
+         "dwmf": _wgrad_kernel_dwnp1f,
+         "dwnp1f": _wgrad_kernel_dwnp1f,
          "dwnp1": _wgrad_kernel_dwnp1}.get(variant, _wgrad_kernel),
         slab=slab, width=width, cin=cin, cout=cout)
+    packed = variant in ("dwnp1", "dwnp1f", "dwm", "dwmf")
     out_shape = {"im2col": (9 * cin, cout),
-                 "dhdw": (3 * cout, 3 * cin),
-                 "dwnp1": (3 * cin, 3 * cout),
-                 "dwm": (3 * cin, 3 * cout)}.get(variant,
-                                                 (9, cin, cout))
-    flat = pl.pallas_call(
-        kernel,
-        grid=(b, h // slab),
-        in_specs=[
+                 "dhdw": (3 * cout, 3 * cin)}.get(
+        variant, (3 * cin, 3 * cout) if packed else (9, cin, cout))
+    if variant in ("dwnp1f", "dwmf"):
+        # flat lane views: every in-kernel slice is an aligned lane
+        # extraction (both reshapes are layout-preserving bitcasts)
+        xin = xp.reshape(b, cin, (h + 8) * width)
+        gin = g.reshape(b, cout, h * width)
+        in_specs = [
+            pl.BlockSpec((pl.Element(1), pl.Element(cin),
+                          pl.Element((slab + 8) * width)),
+                         lambda bi, si: (bi, 0, si * slab * width),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, slab * width),
+                         lambda bi, si: (bi, 0, si),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        xin, gin = xp, g
+        in_specs = [
             pl.BlockSpec((pl.Element(1), pl.Element(cin),
                           pl.Element(slab + 8),
                           pl.Element(width + 2 * wpad)),
@@ -482,18 +563,22 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
             pl.BlockSpec((1, cout, slab, width),
                          lambda bi, si: (bi, 0, si, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    flat = pl.pallas_call(
+        kernel,
+        grid=(b, h // slab),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(out_shape,
                                (lambda bi, si: (0,) * len(out_shape)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
         compiler_params=_wgrad_compiler_params(),
-    )(xp, g)
+    )(xin, gin)
     if variant == "dhdw":
         # [3Co, 3C] rows dh*Co+co, cols dw*C+c -> [3, 3, Cin, Cout]
         return flat.reshape(3, cout, 3, cin).transpose(0, 2, 3, 1)
-    if variant in ("dwnp1", "dwm"):
+    if packed:
         # [3C, 3Co] rows dh*C+c, cols dw*Co+co -> [3, 3, Cin, Cout]
         return flat.reshape(3, cin, 3, cout).transpose(0, 2, 1, 3)
     return flat.reshape(3, 3, cin, cout)
@@ -645,6 +730,8 @@ def _wgrad_variant(fwd_variant: str) -> str:
     env = os.environ.get("UAPS_WGRAD_VARIANT", "")
     if env:
         return env
+    if fwd_variant == "dwmf":
+        return "dwnp1f"
     return "dwnp1" if fwd_variant in ("dwnp", "dwm") else fwd_variant
 
 
@@ -702,7 +789,7 @@ def _vjp_fwd_nchw(x, w, interpret, variant, out_dtype):
     # would otherwise re-pad x in the backward (profiled ~2.3 ms/step of
     # duplicate pad copies). XLA CSEs the forward's pad with this one.
     # (dwnp carries no W padding — see _fwd_kernel_dwout wpad=0.)
-    wp = 0 if variant in ("dwnp", "dwm") else 1
+    wp = 0 if variant in ("dwnp", "dwm", "dwmf") else 1
     xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4), (wp, wp)))
     y = conv3x3_nchw(xp, w, interpret, variant, out_dtype, prepadded=True)
     return y, (xp, w)
@@ -722,8 +809,8 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
         if wgv != variant:
             # the residual was padded for the FORWARD variant's wpad;
             # adjust the W pad to what the override's kernel expects
-            fw = 0 if variant in ("dwnp", "dwm") else 1
-            ww = 0 if wgv in ("dwnp", "dwnp1") else 1
+            fw = 0 if variant in ("dwnp", "dwm", "dwmf") else 1
+            ww = 0 if wgv in ("dwnp", "dwnp1", "dwnp1f", "dwmf") else 1
             if ww > fw:
                 xw = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (1, 1)))
             elif ww < fw:
@@ -731,7 +818,7 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
         dw = conv3x3_nchw_wgrad(xw, g, interpret, wgv,
                                 prepadded=True).astype(w.dtype)
     else:
-        x = (xp[:, :, 4:-4] if variant in ("dwnp", "dwm")
+        x = (xp[:, :, 4:-4] if variant in ("dwnp", "dwm", "dwmf")
              else xp[:, :, 4:-4, 1:-1])
         dx = _xla_conv_nchw(g, w_rot.astype(g.dtype))
         _, wvjp = jax.vjp(lambda ww: _xla_conv_nchw(x, ww), w)

@@ -76,9 +76,13 @@ class ModelConfig:
     # r4: "dwm" (dwnp with the three per-dw matmuls packed into matmul
     # M — MXU time ∝ K·N·ceil(M/128), so 3 matmuls/block instead of 9
     # for free) + the coupled dwnp1 packed wgrad measured 79.5 -> 76.6
-    # ms/step and is the new default
+    # ms/step; "dwmf" additionally feeds the kernels FLAT [B,C,(H+8)*W]
+    # lane views so every dh slice is an aligned lane extraction (no
+    # sublane->lane relayouts in-kernel) — 76.6 -> 75.5 ms/step, the
+    # default
     conv_variant: str = dataclasses.field(
-        default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT", "dwm"))
+        default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT",
+                                               "dwmf"))
     # out_conv (16->num_classes logits head) kernel, independent of
     # conv_variant: taps|im2col|dhdw pallas variants, or "xla"
     # (to_nhwc + XLA NHWC conv). A/B (PERF.md r2): taps 98.7, im2col

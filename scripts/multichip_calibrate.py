@@ -29,7 +29,10 @@ from uaps_tpu.parallel.shardmap_step import make_sharded_train_step  # noqa: E40
 from uaps_tpu.utils.config import preset  # noqa: E402
 
 N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-SEEDS = [int(s) for s in sys.argv[2:]] or [0]
+_rest = sys.argv[2:]
+MODES = [a for a in _rest if not a.lstrip("-").isdigit()] or \
+    ["single", "shard_map", "gspmd"]
+SEEDS = [int(s) for s in _rest if s.lstrip("-").isdigit()] or [0]
 
 
 def trajectory(mode, seed):
@@ -63,15 +66,16 @@ def trajectory(mode, seed):
 def main():
     for seed in SEEDS:
         res = {}
-        for mode in ("single", "shard_map", "gspmd"):
+        for mode in MODES:
             d, wall = trajectory(mode, seed)
             res[mode] = d
             print(f"seed {seed} {mode}: mDice {d:.4f} ({wall:.0f}s)",
                   flush=True)
-        print(f"seed {seed} deltas: |sm-1dev|="
-              f"{abs(res['shard_map'] - res['single']):.4f} "
-              f"|gs-1dev|={abs(res['gspmd'] - res['single']):.4f}",
-              flush=True)
+        if {"single", "shard_map", "gspmd"} <= res.keys():
+            print(f"seed {seed} deltas: |sm-1dev|="
+                  f"{abs(res['shard_map'] - res['single']):.4f} "
+                  f"|gs-1dev|={abs(res['gspmd'] - res['single']):.4f}",
+                  flush=True)
 
 
 if __name__ == "__main__":

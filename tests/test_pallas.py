@@ -165,8 +165,13 @@ class TestPerturbLaneRouting:
         from uaps_tpu.pallas.perturb import _fdrop_pallas_ok
         # NHWC big-spatial: att [1,256,256,1] pads 1->128 lanes = 32 MB
         assert not _fdrop_pallas_ok(jnp.zeros((16, 256, 256, 16)), -1)
-        # NCHW same data: att [1,1,256,256] stays 0.25 MB
-        assert _fdrop_pallas_ok(jnp.zeros((16, 16, 256, 256)), 1)
+        # NCHW same data: att [1,1,256,256] stays 0.25 MB — but the x
+        # block itself is double-buffered in+out: bf16 (2 MB block)
+        # fits, f32 (4 MB -> 16 MB scoped) OOM'd on-chip (r4) and must
+        # gate off
+        assert _fdrop_pallas_ok(
+            jnp.zeros((16, 16, 256, 256), jnp.bfloat16), 1)
+        assert not _fdrop_pallas_ok(jnp.zeros((16, 16, 256, 256)), 1)
         # NHWC small-spatial (the uaps skip levels that already ran)
         assert _fdrop_pallas_ok(jnp.zeros((16, 64, 64, 64)), -1)
 

@@ -287,7 +287,14 @@ def _fdrop_pallas_ok(x, channel_axis) -> bool:
     lane = -(-dims[-1] // 128) * 128
     sub = -(-dims[-2] // 8) * 8
     lead = math.prod(dims[:-2])
-    return lead * sub * lane * 4 <= 4 * 1024 * 1024
+    if lead * sub * lane * 4 > 4 * 1024 * 1024:
+        return False
+    # the [1, *x.shape[1:]] block itself is double-buffered in AND out:
+    # 4x block bytes must stay under the ~16 MB scoped-VMEM limit. An
+    # f32 [1,16,256,256] block (4 MB) exceeded it by 256 KB on-chip
+    # (r4 entry() compile check); bf16 fits with room.
+    block = math.prod(x.shape[1:]) * x.dtype.itemsize
+    return 4 * block <= 15 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

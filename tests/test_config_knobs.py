@@ -45,8 +45,8 @@ def _one_step(cfg):
 
 CONV_BACKENDS = ["auto", "fused", "chain", "xla"]
 CONV_VARIANTS = ["taps", "im2col", "dhdw", "flat", "dwout", "dwnp",
-                 "fullh"]
-HEAD_VARIANTS = ["taps", "im2col", "dhdw", "xla"]
+                 "dwm", "dwmf", "fullh"]
+HEAD_VARIANTS = ["taps", "im2col", "dhdw", "dwnp", "xla"]
 DROPOUT_BACKENDS = ["auto", "xla", "pallas"]
 POOL_BACKENDS = ["auto", "pallas", "maskpool", "xla"]
 BN_BACKENDS = ["auto", "4d", "flat"]

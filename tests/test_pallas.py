@@ -331,6 +331,19 @@ class TestConv3x3Kernels:
                 np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
                 rtol=1e-4, atol=1e-4)
 
+    def test_packed_wgrad_gates_on_unaligned_cout(self, rng):
+        """Packed wgrads unpack [3Co, .] sublane slices at {0, Co, 2Co};
+        Co % 8 != 0 (the n_cls logits heads) must fall back to dwnp and
+        still match taps (ADVICE r4 low: gate asymmetry vs forward)."""
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_nchw_wgrad
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((2, 4, 16, 128)), jnp.float32)
+        ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
+        for wg in ("dwnp1", "dwnp1f", "dwm", "dwmf"):
+            np.testing.assert_allclose(
+                np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
+                rtol=1e-4, atol=1e-4)
+
     def test_wgrad_variant_override_matches(self, rng, monkeypatch):
         """UAPS_WGRAD_VARIANT decouples the wgrad kernel from the forward
         variant (the prepadded residual's W pad differs between dwnp and
@@ -350,7 +363,7 @@ class TestConv3x3Kernels:
         monkeypatch.delenv("UAPS_WGRAD_VARIANT", raising=False)
         ref_dx, ref_dw = grads("dwnp")
         for override in ("taps", "im2col", "dhdw", "dwnp", "dwnp1",
-                         "dwnp1f"):
+                         "dwnp1f", "dwm", "dwmf"):
             monkeypatch.setenv("UAPS_WGRAD_VARIANT", override)
             for fwd in ("dwnp", "taps", "dwm", "dwmf"):
                 dx, dw = grads(fwd)

@@ -500,6 +500,12 @@ def _wgrad_kernel_dwnp1f(x_ref, g_ref, o_ref, *, slab, width, cin, cout):
 
 
 _WGRAD_ONLY = frozenset({"dwnp1", "dwnp1f"})
+# variants whose wgrad kernel reads an UNPADDED-W input (wpad=0); the
+# custom-VJP residual pad adjustment (_vjp_bwd_nchw) must agree with
+# conv3x3_nchw_wgrad's own wpad choice, so both read this one tuple.
+_WGRAD_NOPAD = frozenset({"dwnp", "dwnp1", "dwnp1f", "dwm", "dwmf"})
+# packed one-matmul wgrads: [3Co, .] sublane unpack needs Co % 8 == 0
+_WGRAD_PACKED = frozenset({"dwnp1", "dwnp1f", "dwm", "dwmf"})
 
 
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
@@ -516,12 +522,18 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
-    wpad = 0 if variant in ("dwnp", "dwnp1", "dwnp1f", "dwm",
-                            "dwmf") else 1
+    cout = g.shape[1]
+    if variant in _WGRAD_PACKED and cout % 8 != 0:
+        # mirror the forward's dwm/dwmf gate (line ~270): the packed
+        # kernels unpack [3Co, .] sublane slices at offsets {0,Co,2Co};
+        # a non-8-multiple Co forces sublane relayouts (latent Mosaic
+        # compile failure on-chip) — use per-tap dwnp loads instead
+        # (same wpad=0, so any caller pre-padding stays consistent).
+        variant = "dwnp"
+    wpad = 0 if variant in _WGRAD_NOPAD else 1
     b, cin, h, width = x.shape
     if prepadded:
         h, width = h - 8, width - 2 * wpad
-    cout = g.shape[1]
     slab = _pick_slab(h)
     xp = x if prepadded else jnp.pad(
         x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
@@ -810,7 +822,7 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
             # the residual was padded for the FORWARD variant's wpad;
             # adjust the W pad to what the override's kernel expects
             fw = 0 if variant in ("dwnp", "dwm", "dwmf") else 1
-            ww = 0 if wgv in ("dwnp", "dwnp1", "dwnp1f", "dwmf") else 1
+            ww = 0 if wgv in _WGRAD_NOPAD else 1
             if ww > fw:
                 xw = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (1, 1)))
             elif ww < fw:

@@ -292,8 +292,12 @@ def _fdrop_pallas_ok(x, channel_axis) -> bool:
     # the [1, *x.shape[1:]] block itself is double-buffered in AND out:
     # 4x block bytes must stay under the ~16 MB scoped-VMEM limit. An
     # f32 [1,16,256,256] block (4 MB) exceeded it by 256 KB on-chip
-    # (r4 entry() compile check); bf16 fits with room.
-    block = math.prod(x.shape[1:]) * x.dtype.itemsize
+    # (r4 entry() compile check); bf16 fits with room. VMEM blocks are
+    # tile-padded, so count ceil-to-(8,128) trailing dims, not raw
+    # elements (an unaligned trailing dim can double the footprint).
+    blane = -(-x.shape[-1] // 128) * 128
+    bsub = -(-x.shape[-2] // 8) * 8
+    block = math.prod(x.shape[1:-2]) * bsub * blane * x.dtype.itemsize
     return 4 * block <= 15 * 1024 * 1024
 
 

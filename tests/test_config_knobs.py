@@ -46,7 +46,7 @@ def _one_step(cfg):
 CONV_BACKENDS = ["auto", "fused", "chain", "xla"]
 CONV_VARIANTS = ["taps", "im2col", "dhdw", "flat", "dwout", "dwnp",
                  "dwm", "dwmf", "fullh"]
-HEAD_VARIANTS = ["taps", "im2col", "dhdw", "dwnp", "xla"]
+HEAD_VARIANTS = ["taps", "im2col", "dhdw", "dwnp", "dwm", "dwmf", "xla"]
 DROPOUT_BACKENDS = ["auto", "xla", "pallas"]
 POOL_BACKENDS = ["auto", "pallas", "maskpool", "xla"]
 BN_BACKENDS = ["auto", "4d", "flat"]

@@ -331,18 +331,50 @@ class TestConv3x3Kernels:
                 np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
                 rtol=1e-4, atol=1e-4)
 
-    def test_packed_wgrad_gates_on_unaligned_cout(self, rng):
-        """Packed wgrads unpack [3Co, .] sublane slices at {0, Co, 2Co};
-        Co % 8 != 0 (the n_cls logits heads) must fall back to dwnp and
-        still match taps (ADVICE r4 low: gate asymmetry vs forward)."""
-        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_nchw_wgrad
+    def test_packed_variants_unaligned_cout(self, rng, monkeypatch):
+        """Co % 8 != 0 (the n_cls logits heads): the packed variants
+        zero-pad Co to the next 8-multiple (r5) and must match taps;
+        with UAPS_HEAD_COPAD=0 the r4 dwnp fallback must also match."""
+        from uaps_tpu.pallas.conv3x3_nchw import (conv3x3_nchw,
+                                                  conv3x3_nchw_wgrad)
         x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 4)) * 0.1,
+                        jnp.float32)
         g = jnp.asarray(rng.standard_normal((2, 4, 16, 128)), jnp.float32)
+        ref_f = np.asarray(conv3x3_nchw(x, w, True, "taps"))
         ref_w = np.asarray(conv3x3_nchw_wgrad(x, g, True, "taps"))
-        for wg in ("dwnp1", "dwnp1f", "dwm", "dwmf"):
-            np.testing.assert_allclose(
-                np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
-                rtol=1e-4, atol=1e-4)
+        for copad in ("1", "0"):
+            monkeypatch.setenv("UAPS_HEAD_COPAD", copad)
+            for v in ("dwm", "dwmf"):
+                np.testing.assert_allclose(
+                    np.asarray(conv3x3_nchw(x, w, True, v)), ref_f,
+                    rtol=1e-4, atol=1e-4, err_msg=f"fwd {v} copad={copad}")
+            for wg in ("dwnp1", "dwnp1f", "dwm", "dwmf"):
+                np.testing.assert_allclose(
+                    np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
+                    rtol=1e-4, atol=1e-4, err_msg=f"wg {wg} copad={copad}")
+
+    def test_packed_head_full_vjp_unaligned_cout(self, rng):
+        """The full custom-VJP chain through a Co=4 dwmf head (fwd +
+        dgrad with Cin=4 + padded packed wgrad) must match taps."""
+        from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_nchw
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 4)) * 0.1,
+                        jnp.float32)
+
+        def grads(variant):
+            return jax.grad(
+                lambda xx, ww: jnp.sum(
+                    conv3x3_fast_nchw(xx, ww, True, variant) ** 2),
+                argnums=(0, 1))(x, w)
+
+        ref_dx, ref_dw = grads("taps")
+        for v in ("dwm", "dwmf"):
+            dx, dw = grads(v)
+            np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
+                                       rtol=1e-4, atol=1e-4)
 
     def test_wgrad_variant_override_matches(self, rng, monkeypatch):
         """UAPS_WGRAD_VARIANT decouples the wgrad kernel from the forward

@@ -98,7 +98,8 @@ _MODEL_ENUMS = {
     "conv_backend": {"auto", "fused", "chain", "xla"},
     "conv_variant": {"taps", "im2col", "dhdw", "flat", "dwout", "dwnp",
                      "dwm", "dwmf", "fullh"},
-    "head_variant": {"taps", "im2col", "dhdw", "dwnp", "xla"},
+    "head_variant": {"taps", "im2col", "dhdw", "dwnp", "dwm", "dwmf",
+                     "xla"},
     "dropout_backend": {"auto", "xla", "pallas"},
     "pool_backend": {"auto", "pallas", "maskpool", "xla"},
     "bn_backend": {"auto", "4d", "flat"},

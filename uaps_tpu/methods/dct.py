@@ -46,8 +46,10 @@ def make_train_step(cfg, model, tx, axis_name=None):
         new_key, d1, d2, d3, k_rot = jax.random.split(state.key, 5)
         d1, d2, d3 = base.device_keys((d1, d2, d3), axis_name)
         # rotation count is one global draw per step (reference :173) so
-        # k_rot stays shared across devices
-        k = jax.random.randint(k_rot, (), 0, 4)
+        # k_rot stays shared across devices. "rot_k" batch hook:
+        # trajectory tests feed the same k to torch and jax.
+        k = (jnp.asarray(batch["rot_k"], jnp.int32) if "rot_k" in batch
+             else jax.random.randint(k_rot, (), 0, 4))
 
         def loss_fn(params):
             logits, bs1 = base.apply_train(

@@ -38,8 +38,11 @@ def make_train_step(cfg, model, tx, axis_name=None):
         uimage = batch["uimage"]
         b = uimage.shape[0]
 
-        # teacher pass for the consistency target (same as MT)
-        ema_in = teacher_noise(n_key, uimage)
+        # teacher pass for the consistency target (same as MT).
+        # "tnoise"/"tnoise_T" batch hooks: trajectory tests feed the SAME
+        # noise draws to torch and jax (tests/test_torch_trajectory2.py)
+        ema_in = (uimage + batch["tnoise"] if "tnoise" in batch
+                  else teacher_noise(n_key, uimage))
         ema_logits, new_ema_bs = base.apply_train(
             model, state.ema_params, state.ema_batch_stats, ema_in,
             rngs={"dropout": jax.random.fold_in(t_drop, 0)})
@@ -47,7 +50,8 @@ def make_train_step(cfg, model, tx, axis_name=None):
 
         # T stochastic passes, batched into one forward [T*B, ...]
         rep = jnp.tile(uimage, (T, 1, 1, 1))
-        rep = teacher_noise(t_noise, rep)
+        rep = (rep + batch["tnoise_T"] if "tnoise_T" in batch
+               else teacher_noise(t_noise, rep))
         t_logits, _ = base.apply_train(
             model, state.ema_params, state.ema_batch_stats, rep,
             rngs={"dropout": jax.random.fold_in(t_drop, 1)})

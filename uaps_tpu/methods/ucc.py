@@ -43,11 +43,19 @@ def make_train_step(cfg, model, tx, axis_name=None):
         (k_mix, k_cross, d1, p1, d2, p2, d3, p3) = base.device_keys(
             (k_mix, k_cross, d1, p1, d2, p2, d3, p3), axis_name)
 
-        # device-side CutMix augmentation (reference does this on host)
-        img_l, lab_l = generate_mix_data(k_mix, batch["image"],
-                                         batch["label"], p=0.2)
-        wk, st = generate_crossmix_data(
-            k_cross, img_l, batch["uimage"], batch["uimage_strong"], p=0.3)
+        # device-side CutMix augmentation (reference does this on host).
+        # "mix_*" batch hooks: trajectory tests feed identical pre-mixed
+        # streams to torch and jax (the cutmix ops have their own parity
+        # tests) — tests/test_torch_trajectory2.py.
+        if "mix_img_l" in batch:
+            img_l, lab_l = batch["mix_img_l"], batch["mix_lab_l"]
+            wk, st = batch["mix_wk"], batch["mix_st"]
+        else:
+            img_l, lab_l = generate_mix_data(k_mix, batch["image"],
+                                             batch["label"], p=0.2)
+            wk, st = generate_crossmix_data(
+                k_cross, img_l, batch["uimage"], batch["uimage_strong"],
+                p=0.3)
 
         def loss_fn(params):
             (o1, o2), bs1 = base.apply_train(

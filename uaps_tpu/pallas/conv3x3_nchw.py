@@ -15,6 +15,7 @@ weights; wgrad = accumulating kernel).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -118,9 +119,12 @@ def _fwd_kernel_dwout(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
     o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
 
 
-def _fwd_kernel_dwm(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+def _fwd_kernel_dwm(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
+                    co_out=None):
     """x_ref [1, C, slab+8, W] (NO W pad — dwnp loads), w_ref
     [3, 3*Cout, Cin] (row dw*Co+co), o_ref [1, Co, slab*W] (flat).
+    co_out < cout writes only the leading real rows (Cout zero-padded
+    to an 8-multiple so the dw partial slices stay sublane-aligned).
 
     dwnp body with the three per-dw matmuls of each dh PACKED INTO
     MATMUL M: MXU time scales with K*N*ceil(M/128) (measured r2,
@@ -144,10 +148,14 @@ def _fwd_kernel_dwm(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
     a2 = jnp.where(n % width == width - 1, 0.0,
                    pltpu.roll(accs[2], slab * width - 1, 1))
-    o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
+    comb = accs[1] + a0 + a2
+    if co_out is not None and co_out != cout:
+        comb = comb[:co_out]
+    o_ref[0] = comb.astype(o_ref.dtype)
 
 
-def _fwd_kernel_dwmf(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
+def _fwd_kernel_dwmf(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
+                     co_out=None):
     """x_ref [1, C, (slab+8)*W] — the FLAT lane view of the H-padded
     no-W-pad input — w_ref [3, 3*Cout, Cin], o_ref [1, Co, slab*W].
 
@@ -170,7 +178,10 @@ def _fwd_kernel_dwmf(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
     a2 = jnp.where(n % width == width - 1, 0.0,
                    pltpu.roll(accs[2], slab * width - 1, 1))
-    o_ref[0] = (accs[1] + a0 + a2).astype(o_ref.dtype)
+    comb = accs[1] + a0 + a2
+    if co_out is not None and co_out != cout:
+        comb = comb[:co_out]
+    o_ref[0] = comb.astype(o_ref.dtype)
 
 
 def _fwd_kernel_flat(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
@@ -267,11 +278,20 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         return y if out_dtype in (None, y.dtype) else y.astype(out_dtype)
     b, cin, h, width = x.shape
     cout = w.shape[-1]
+    copad = 0
     if variant in ("dwm", "dwmf") and cout % 8 != 0:
         # the per-dw partials come apart as f32 sublane slices at
         # offsets {0, Co, 2Co}: a non-8-multiple Co (the n_cls logits
-        # heads) would force sublane relayouts — use dwnp loads there
-        variant = "dwnp"
+        # heads) would force sublane relayouts. r5: zero-pad Cout in the
+        # PACKED WEIGHT to the next 8-multiple so the offsets are
+        # aligned; the kernel computes [3*co8, N] partials and writes
+        # only the real rows. This unlocks the 3x matmul-count win for
+        # the Co=4 heads (profiled 7.96 ms/24 head calls at r5a).
+        # UAPS_HEAD_COPAD=0 restores the r4 dwnp fallback for A/Bs.
+        if os.environ.get("UAPS_HEAD_COPAD", "1") == "0":
+            variant = "dwnp"
+        else:
+            copad = (-cout) % 8
     wpad = 0 if variant in ("dwnp", "dwm", "dwmf") else 1
     if prepadded:
         h, width = h - 8, width - 2 * wpad
@@ -280,12 +300,16 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
     xp = x if prepadded else jnp.pad(
         x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
     if variant in ("dwm", "dwmf"):
-        # W3[dh][dw*Co+co, c] = w[dh, dw, c, co]
-        wp = w.transpose(0, 1, 3, 2).reshape(3, 3 * cout, cin).astype(
+        # W3[dh][dw*Co8+co, c] = w[dh, dw, c, co] (co8 = Co + copad)
+        co8 = cout + copad
+        wsrc = (w if copad == 0 else
+                jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, copad))))
+        wp = wsrc.transpose(0, 1, 3, 2).reshape(3, 3 * co8, cin).astype(
             x.dtype)
         body = _fwd_kernel_dwmf if variant == "dwmf" else _fwd_kernel_dwm
         kernel = functools.partial(body, slab=slab,
-                                   width=width, cin=cin, cout=cout)
+                                   width=width, cin=cin, cout=co8,
+                                   co_out=cout)
     elif variant == "dhdw":
         # W2[dh*Co+co, dw*C+c] = w[dh, dw, c, co]
         wp = w.transpose(0, 3, 1, 2).reshape(3 * cout, 3 * cin).astype(
@@ -523,13 +547,22 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
             x = x[:, :, 4:-4, 1:-1]
         return conv3x3_nchw_wgrad_fullh(x, g, interpret)
     cout = g.shape[1]
+    co_real = None
     if variant in _WGRAD_PACKED and cout % 8 != 0:
-        # mirror the forward's dwm/dwmf gate (line ~270): the packed
-        # kernels unpack [3Co, .] sublane slices at offsets {0,Co,2Co};
-        # a non-8-multiple Co forces sublane relayouts (latent Mosaic
-        # compile failure on-chip) — use per-tap dwnp loads instead
-        # (same wpad=0, so any caller pre-padding stays consistent).
-        variant = "dwnp"
+        # the packed kernels build [3Co, .] sublane concats at offsets
+        # {0, Co, 2Co}; a non-8-multiple Co forces sublane relayouts
+        # (latent Mosaic compile failure on-chip). r5: zero-pad g's
+        # channel dim to the next 8-multiple — padded rows stay zero
+        # through the masked rolls, so the extra dW columns are exact
+        # zeros and are sliced off after the unpack. This keeps the
+        # 9->1 matmul-count win for the Co=4 heads.
+        # UAPS_HEAD_COPAD=0 restores the per-tap dwnp fallback.
+        if os.environ.get("UAPS_HEAD_COPAD", "1") == "0":
+            variant = "dwnp"
+        else:
+            co_real = cout
+            g = jnp.pad(g, ((0, 0), (0, (-cout) % 8), (0, 0), (0, 0)))
+            cout = g.shape[1]
     wpad = 0 if variant in _WGRAD_NOPAD else 1
     b, cin, h, width = x.shape
     if prepadded:
@@ -592,7 +625,8 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         return flat.reshape(3, cout, 3, cin).transpose(0, 2, 3, 1)
     if packed:
         # [3C, 3Co] rows dh*C+c, cols dw*Co+co -> [3, 3, Cin, Cout]
-        return flat.reshape(3, cin, 3, cout).transpose(0, 2, 1, 3)
+        dw_full = flat.reshape(3, cin, 3, cout).transpose(0, 2, 1, 3)
+        return dw_full if co_real is None else dw_full[..., :co_real]
     return flat.reshape(3, 3, cin, cout)
 
 

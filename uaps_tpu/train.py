@@ -453,7 +453,8 @@ def parse_args(argv=None) -> Config:
                         "a dataset with fixed pools; see "
                         "data/device_pool.py)")
     p.add_argument("--head_variant", default=None,
-                   choices=["taps", "im2col", "dhdw", "xla"],
+                   choices=["taps", "im2col", "dhdw", "dwnp", "dwm",
+                            "dwmf", "xla"],
                    help="out_conv logits-head kernel (PERF.md A/B knob)")
     p.add_argument("--early_stop_patience", type=int, default=None,
                    help="stop after N epochs without a new best val "

@@ -28,9 +28,13 @@ BATCH, IMAGE, STEPS, WARM = 16, (256, 256), 20, 3
 
 
 def measure(variant: str) -> float:
+    import os
     backend, _, flags = variant.partition("@")
     flag_kv = dict(f.split("=", 1) for f in flags.split(",")
                    if "=" in f)
+    # env-gated knobs (read at TRACE time, so per-leg setenv works):
+    # flatblk=0/1 -> UAPS_FLAT_BLOCKS (ConvBlock flat island, r5)
+    os.environ["UAPS_FLAT_BLOCKS"] = flag_kv.get("flatblk", "1")
     import uaps_tpu.models.unet as unet_mod
     import uaps_tpu.pallas.conv3x3_nchw as cmod
     if not hasattr(cmod, "_orig_pick_slab"):
@@ -54,10 +58,13 @@ def measure(variant: str) -> float:
     # conv_variant: only override when var= is given — the bare legs must
     # measure the production default (dwnp), not a stale hardcode
     mrep = dict(compute_dtype="bfloat16", conv_backend=backend,
-                head_variant=flag_kv.get("head", "taps"),
                 dropout_backend=flag_kv.get("drop", "auto"),
                 pool_backend=flag_kv.get("pool", "auto"),
                 bn_backend=flag_kv.get("bn", "auto"))
+    if "head" in flag_kv:
+        # only override when head= is given — bare legs measure the
+        # production default (dwmf since r5b)
+        mrep["head_variant"] = flag_kv["head"]
     if "var" in flag_kv:
         mrep["conv_variant"] = flag_kv["var"]
     if flag_kv.get("stack") == "1":

@@ -253,6 +253,73 @@ class TestStackedDecoders:
             assert bool(jnp.isfinite(o).all())
 
 
+class TestFlatConvBlock:
+    """The flat-island ConvBlock path (r5: the whole block on the conv
+    kernels' native [B, C, H*W] lane view, BN(axis=1) over the flat
+    tensor) must match the standard 4-D NCHW composition: same param
+    tree, same outputs, same running-stat updates, same gradients. On
+    CPU the island's convs route through the exact lax.conv fallback."""
+
+    def _blocks(self):
+        from uaps_tpu.models.unet import ConvBlock
+        std = ConvBlock(16, 0.0, jnp.float32, "nchw",
+                        conv_variant="dwmf")
+        flat = ConvBlock(16, 0.0, jnp.float32, "nchw",
+                         conv_variant="dwmf", force_flat=True)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (2, 16, 128, 128)), jnp.float32)
+        v = std.init({"params": jax.random.key(0)}, x, train=True)
+        return std, flat, x, v
+
+    def test_param_tree_identical(self):
+        std, flat, x, v = self._blocks()
+        v2 = flat.init({"params": jax.random.key(0)}, x, train=True)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(v2)
+        for a, b in zip(jax.tree.leaves(v["params"]),
+                        jax.tree.leaves(v2["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_outputs_stats_and_grads_match(self):
+        std, flat, x, v = self._blocks()
+        o1, m1 = std.apply(v, x, train=True, mutable=["batch_stats"])
+        o2, m2 = flat.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(m1["batch_stats"]),
+                        jax.tree.leaves(m2["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+        def loss(mod, params):
+            o, _ = mod.apply({"params": params,
+                              "batch_stats": v["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"])
+            return jnp.sum(o ** 2)
+
+        g1 = jax.grad(lambda p: loss(std, p))(v["params"])
+        g2 = jax.grad(lambda p: loss(flat, p))(v["params"])
+        # the conv BIAS grads are analytically ~0 (BN mean-subtraction
+        # absorbs the bias), so their values are pure f32 cancellation
+        # noise over 32k-element reductions whose order the flat view
+        # changes — tolerance scales with the largest grad in the tree
+        # (measured: rel diffs elsewhere are ~2e-6)
+        gmax = max(float(np.max(np.abs(np.asarray(le))))
+                   for le in jax.tree.leaves(g1))
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5 * gmax)
+
+    def test_eval_outputs_match(self):
+        std, flat, x, v = self._blocks()
+        _, m = std.apply(v, x, train=True, mutable=["batch_stats"])
+        v2 = {"params": v["params"], "batch_stats": m["batch_stats"]}
+        o1 = std.apply(v2, x, train=False)
+        o2 = flat.apply(v2, x, train=False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestFusedConvBlock:
     """The fused ConvBlock path (BN-normalize+leaky inside the second
     conv's prologue, pallas/conv_bnl.py) must match the standard

@@ -354,6 +354,37 @@ class TestConv3x3Kernels:
                     np.asarray(conv3x3_nchw_wgrad(x, g, True, wg)), ref_w,
                     rtol=1e-4, atol=1e-4, err_msg=f"wg {wg} copad={copad}")
 
+    def test_flat_conv_vjp_matches_nchw(self, rng):
+        """conv3x3_fast_flat (the ConvBlock flat-island entry: 3-D
+        [B,C,H*W] in/out, lane-pad halo) must match the 4-D chain for
+        value, dx and dW through the full custom VJP."""
+        from uaps_tpu.pallas.conv3x3_nchw import (conv3x3_fast_flat,
+                                                  conv3x3_fast_nchw)
+        h, wdt = 16, 128
+        x = jnp.asarray(rng.standard_normal((2, 16, h, wdt)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        xf = x.reshape(2, 16, h * wdt)
+
+        v4, (dx4, dw4) = jax.value_and_grad(
+            lambda xx, ww: jnp.sum(
+                conv3x3_fast_nchw(xx, ww, True, "dwmf") ** 2),
+            (0, 1))(x, w)
+        vf, (dxf, dwf) = jax.value_and_grad(
+            lambda xx, ww: jnp.sum(
+                conv3x3_fast_flat(xx, ww, (h, wdt), True) ** 2),
+            (0, 1))(xf, w)
+        np.testing.assert_allclose(float(vf), float(v4), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dxf).reshape(dx4.shape), np.asarray(dx4),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dwf), np.asarray(dw4),
+                                   rtol=1e-4, atol=1e-4)
+        y4 = np.asarray(conv3x3_fast_nchw(x, w, True, "dwmf"))
+        yf = np.asarray(conv3x3_fast_flat(xf, w, (h, wdt), True))
+        np.testing.assert_allclose(yf.reshape(y4.shape), y4,
+                                   rtol=1e-5, atol=1e-5)
+
     def test_packed_head_full_vjp_unaligned_cout(self, rng):
         """The full custom-VJP chain through a Co=4 dwmf head (fwd +
         dgrad with Cin=4 + padded packed wgrad) must match taps."""

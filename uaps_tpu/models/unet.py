@@ -65,7 +65,7 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_stats: bool = False, *,
-                 apply_bias: bool = True, bnl=None):
+                 apply_bias: bool = True, bnl=None, hw=None):
         """return_stats=True (NCHW only) additionally returns the
         per-channel f32 (sum, sumsq, n) of the BIASED output over
         (B, H, W), computed for free in the kernel's accumulator —
@@ -76,8 +76,18 @@ class Conv3x3(nn.Module):
         algebraically (the fused ConvBlock path).
         bnl=(factor, shift) applies the previous BN's normalize + leaky
         in the conv kernel's VMEM prologue (pallas/conv_bnl.py) — the
-        normalized tensor never round-trips HBM."""
+        normalized tensor never round-trips HBM.
+
+        FLAT mode (r5): a 3-D x [B, C, H*W] with hw=(H, W) keeps the
+        kernels' native flat lane view in AND out (ConvBlock flat
+        island — the 4-D<->flat boundary reshapes are relayouts); the
+        non-pallas fallback reshapes to 4-D around lax.conv."""
         nchw = self.layout == "nchw"
+        flat = x.ndim == 3
+        if flat:
+            assert nchw and hw is not None and bnl is None \
+                and not return_stats
+            h, w = hw
         cin = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -86,7 +96,8 @@ class Conv3x3(nn.Module):
                           (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        h, w = x.shape[2:4] if nchw else x.shape[1:3]
+        if not flat:
+            h, w = x.shape[2:4] if nchw else x.shape[1:3]
         use_pallas = (
             self.backend != "xla"
             and jax.devices()[0].platform == "tpu"
@@ -103,6 +114,22 @@ class Conv3x3(nn.Module):
             if not apply_bias:
                 return out, bias
             return out + bias.astype(out.dtype)[None, :, None, None]
+        if flat:
+            if use_pallas:
+                from uaps_tpu.pallas.conv3x3_nchw import conv3x3_fast_flat
+                y = conv3x3_fast_flat(x, kernel, (h, w), False,
+                                      self.out_dtype)
+            else:
+                b = x.shape[0]
+                dt = self.out_dtype or x.dtype
+                x4 = x.reshape(b, cin, h, w).astype(dt)
+                y = jax.lax.conv_general_dilated(
+                    x4, kernel.astype(dt), (1, 1), "SAME",
+                    dimension_numbers=("NCHW", "HWIO", "NCHW"))
+                y = y.reshape(b, self.features, h * w)
+            if not apply_bias:
+                return y, bias
+            return y + bias.astype(y.dtype)[None, :, None]
         stats = None
         if use_pallas:
             variant = self.variant
@@ -279,6 +306,7 @@ class ConvBlock(nn.Module):
     #            (the flat view is the conv kernel's raw output layout)
     bn_backend: str = "auto"
     force_bnl: bool = False   # tests: take the fused path on CPU
+    force_flat: bool = False  # tests: take the flat island on CPU
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -291,6 +319,8 @@ class ConvBlock(nn.Module):
             return self._fused(x, train)
         if nchw and not self.bn_stats and self.conv_backend == "chain":
             return self._chain(x, train)
+        if nchw and not self.bn_stats and self._flat_ok(x):
+            return self._flat(x, train)
 
         def conv_bn(x, conv_name, bn_name):
             if nchw and self.bn_stats:
@@ -342,6 +372,64 @@ class ConvBlock(nn.Module):
                                deterministic=not train)(x)
         x = conv_bn(x, "Conv_1", "BatchNorm_1")
         return nn.leaky_relu(x)
+
+    def _flat_ok(self, x) -> bool:
+        """Flat-island gate (r5): the whole block runs on the conv
+        kernels' native flat [B, C, H*W] lane view — the 4-D<->flat
+        boundary reshapes are genuine relayouts (H moves between
+        sublanes and lanes; 7.17 ms/step in the r5a profile), so they
+        are paid once per block instead of around every conv call.
+        Requires the dwmf kernels (auto backend) and the shapes their
+        pallas gate accepts. UAPS_FLAT_BLOCKS=0 restores the 4-D path
+        for step A/Bs; force_flat exercises the island on CPU (convs
+        route to the exact lax.conv fallback there)."""
+        import os
+        if self.conv_variant != "dwmf" or self.conv_backend != "auto":
+            return False
+        if self.bn_backend == "flat":
+            return False  # flat BN is inherent to the island
+        if os.environ.get("UAPS_FLAT_BLOCKS", "1") == "0":
+            return False
+        if not (self.force_flat or jax.devices()[0].platform == "tpu"):
+            return False
+        b, c, h, w = x.shape
+        return (h >= 128 and w >= 128 and h % 8 == 0 and w % 128 == 0
+                and self.features <= 32 and c <= 64)
+
+    def _flat(self, x, train: bool):
+        """The default NCHW ConvBlock recipe (UAPS_unet.py:31-47) on the
+        flat lane view: conv1 -> BN -> leaky -> dropout -> conv2 -> BN
+        -> leaky, all on [B, C, H*W] (BN(axis=1) reduces the flat view
+        directly — the layout the conv kernel wrote). Identical param
+        tree to the 4-D path."""
+        b, c, hh, ww = x.shape
+        xf = x.reshape(b, c, hh * ww)
+
+        def conv_bn(xf, conv_name, bn_name):
+            y = Conv3x3(self.features, self.dtype, "nchw",
+                        backend=self.conv_backend,
+                        variant=self.conv_variant,
+                        name=conv_name)(xf, hw=(hh, ww))
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, axis=1, name=bn_name)(y)
+
+        xf = nn.leaky_relu(conv_bn(xf, "Conv_0", "BatchNorm_0"))
+        if self.dropout_rate > 0:
+            use_pallas_drop = self.dropout_backend == "pallas" or (
+                self.dropout_backend == "auto"
+                and jax.devices()[0].platform == "tpu")
+            if use_pallas_drop:
+                if train:
+                    from uaps_tpu.ops.perturbations import _kernel_seed
+                    from uaps_tpu.pallas.perturb import fused_dropout
+                    seed = _kernel_seed(self.make_rng("dropout"))
+                    xf = fused_dropout(xf, seed, self.dropout_rate)
+            else:
+                xf = nn.Dropout(self.dropout_rate,
+                                deterministic=not train)(xf)
+        xf = nn.leaky_relu(conv_bn(xf, "Conv_1", "BatchNorm_1"))
+        return xf.reshape(b, self.features, hh, ww)
 
     def _chain(self, x, train: bool):
         """The r4 fused ConvBlock chain (pallas/block_conv.py): conv

@@ -258,16 +258,29 @@ def _fwd_kernel_dhdw(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
 def conv3x3_nchw(x: jax.Array, w: jax.Array,
                  interpret: bool = False,
                  variant: str = "taps",
-                 out_dtype=None, prepadded: bool = False) -> jax.Array:
+                 out_dtype=None, prepadded: bool = False,
+                 hw=None) -> jax.Array:
     """x [B, Cin, H, W], w [3, 3, Cin, Cout] -> [B, Cout, H, W]
     (SAME, stride 1). variant: 'im2col' (one full-depth MXU matmul) or
     'taps' (nine K=Cin matmuls, the default). out_dtype lets bf16 inputs
     produce f32 outputs straight from the f32 accumulator (the logits
     head: full output precision at bf16 DMA/matmul cost — the f32-in
-    out_conv was profiled at 0.9 ms/call vs ~0.45 for bf16-in)."""
+    out_conv was profiled at 0.9 ms/call vs ~0.45 for bf16-in).
+
+    FLAT mode (r5): a 3-D x [B, Cin, H*W] with hw=(H, W) is the kernels'
+    native flat lane view (C in sublanes) — variant must be 'dwmf' and
+    the result stays flat [B, Cout, H*W]. The 4-D<->flat boundary
+    reshapes are genuine relayouts (H moves between sublanes and lanes;
+    profiled 7.17 ms/step at r5a), so blocks that chain convs keep the
+    flat layout end-to-end (ConvBlock flat island)."""
     if variant not in VARIANTS:
         raise ValueError(f"unknown conv variant {variant!r}; "
                          f"expected one of {sorted(VARIANTS)}")
+    flat_io = x.ndim == 3
+    if flat_io:
+        assert hw is not None and variant == "dwmf", (variant, hw)
+        h, width = hw
+        b, cin = x.shape[:2]
     if variant == "fullh":
         # fullh does its own (H-only) padding and writes x.dtype outputs:
         # strip any caller pre-padding and convert afterwards (the variant
@@ -276,7 +289,8 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
             x = x[:, :, 4:-4, 1:-1]
         y = conv3x3_nchw_fullh(x, w, interpret)
         return y if out_dtype in (None, y.dtype) else y.astype(out_dtype)
-    b, cin, h, width = x.shape
+    if not flat_io:
+        b, cin, h, width = x.shape
     cout = w.shape[-1]
     copad = 0
     if variant in ("dwm", "dwmf") and cout % 8 != 0:
@@ -293,12 +307,17 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         else:
             copad = (-cout) % 8
     wpad = 0 if variant in ("dwnp", "dwm", "dwmf") else 1
-    if prepadded:
+    if prepadded and not flat_io:
         h, width = h - 8, width - 2 * wpad
     out_dtype = out_dtype or x.dtype
     slab = _pick_slab(h)
-    xp = x if prepadded else jnp.pad(
-        x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
+    if flat_io:
+        # lane-pad 4 rows of W on each side == the 4-D (4,4) H pad
+        xp = x if prepadded else jnp.pad(
+            x, ((0, 0), (0, 0), (4 * width, 4 * width)))
+    else:
+        xp = x if prepadded else jnp.pad(
+            x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
     if variant in ("dwm", "dwmf"):
         # W3[dh][dw*Co8+co, c] = w[dh, dw, c, co] (co8 = Co + copad)
         co8 = cout + copad
@@ -343,10 +362,12 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, cout, h, width), out_dtype)
     if variant == "dwmf":
-        # feed the FLAT lane view: the [B,C,H+8,W]->[B,C,(H+8)*W]
-        # reshape is layout-preserving (an XLA bitcast), and every
-        # in-kernel dh slice becomes an aligned lane slice
-        xp = xp.reshape(b, cin, (h + 8) * width)
+        # feed the FLAT lane view; every in-kernel dh slice becomes an
+        # aligned lane slice. (In 4-D mode the boundary reshape is a
+        # relayout XLA materializes — flat_io callers avoid it by
+        # keeping the flat layout across the whole block.)
+        if not flat_io:
+            xp = xp.reshape(b, cin, (h + 8) * width)
         in_spec = pl.BlockSpec(
             (pl.Element(1), pl.Element(cin),
              pl.Element((slab + 8) * width)),
@@ -367,6 +388,8 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         interpret=interpret,
         compiler_params=_fwd_compiler_params(),
     )(xp, wp)
+    if flat_io:
+        return y  # already [B, Cout, H*W]
     return y.reshape(b, cout, h, width)
 
 
@@ -535,13 +558,22 @@ _WGRAD_PACKED = frozenset({"dwnp1", "dwnp1f", "dwm", "dwmf"})
 def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
                        interpret: bool = False,
                        variant: str = "im2col",
-                       prepadded: bool = False) -> jax.Array:
-    """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32."""
+                       prepadded: bool = False,
+                       hw=None) -> jax.Array:
+    """x [B, Cin, H, W], g [B, Cout, H, W] -> dW [3, 3, Cin, Cout] f32.
+
+    FLAT mode (r5): 3-D x [B, Cin, (H+8)*W] (prepadded flat lane view)
+    + 3-D g [B, Cout, H*W] with hw=(H, W); variant must be the flat
+    packed 'dwnp1f'. Avoids the 4-D<->flat boundary relayouts."""
     if variant not in VARIANTS and variant not in _WGRAD_ONLY:
         # dwnp1/dwnp1f are wgrad-only (no forward analog) — reachable
         # via UAPS_WGRAD_VARIANT, not UAPS_CONV_VARIANT
         raise ValueError(f"unknown conv variant {variant!r}; "
                          f"expected one of {sorted(VARIANTS)}")
+    flat_io = x.ndim == 3
+    if flat_io:
+        assert hw is not None and prepadded and g.ndim == 3, (hw, g.shape)
+        assert variant in ("dwnp1f", "dwmf"), variant
     if variant == "fullh":
         if prepadded:
             x = x[:, :, 4:-4, 1:-1]
@@ -561,12 +593,17 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
             variant = "dwnp"
         else:
             co_real = cout
-            g = jnp.pad(g, ((0, 0), (0, (-cout) % 8), (0, 0), (0, 0)))
+            g = jnp.pad(g, ((0, 0), (0, (-cout) % 8))
+                        + ((0, 0),) * (g.ndim - 2))
             cout = g.shape[1]
     wpad = 0 if variant in _WGRAD_NOPAD else 1
-    b, cin, h, width = x.shape
-    if prepadded:
-        h, width = h - 8, width - 2 * wpad
+    if flat_io:
+        h, width = hw
+        b, cin = x.shape[:2]
+    else:
+        b, cin, h, width = x.shape
+        if prepadded:
+            h, width = h - 8, width - 2 * wpad
     slab = _pick_slab(h)
     xp = x if prepadded else jnp.pad(
         x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
@@ -585,9 +622,9 @@ def conv3x3_nchw_wgrad(x: jax.Array, g: jax.Array,
         variant, (3 * cin, 3 * cout) if packed else (9, cin, cout))
     if variant in ("dwnp1f", "dwmf"):
         # flat lane views: every in-kernel slice is an aligned lane
-        # extraction (both reshapes are layout-preserving bitcasts)
-        xin = xp.reshape(b, cin, (h + 8) * width)
-        gin = g.reshape(b, cout, h * width)
+        # extraction (flat_io callers pass them pre-flattened)
+        xin = xp if flat_io else xp.reshape(b, cin, (h + 8) * width)
+        gin = g if flat_io else g.reshape(b, cout, h * width)
         in_specs = [
             pl.BlockSpec((pl.Element(1), pl.Element(cin),
                           pl.Element((slab + 8) * width)),
@@ -873,6 +910,44 @@ def _vjp_bwd_nchw(interpret, variant, out_dtype, res, g):
 
 
 conv3x3_fast_nchw.defvjp(_vjp_fwd_nchw, _vjp_bwd_nchw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3x3_fast_flat(x: jax.Array, w: jax.Array, hw,
+                      interpret: bool = False,
+                      out_dtype=None) -> jax.Array:
+    """FLAT differentiable conv: x [B, Cin, H*W] (the kernels' native
+    C-in-sublanes lane view), w [3, 3, Cin, Cout], static hw=(H, W) ->
+    [B, Cout, H*W]. The ConvBlock flat island chains these without
+    leaving the flat layout: the 4-D<->flat boundary reshapes are
+    genuine relayouts (r5a profile: 7.17 ms/step of them), and the
+    dwmf/dwnp1f kernels already consume and produce exactly these flat
+    buffers. The H halo is a contiguous 4W-zero lane pad."""
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4 * hw[1], 4 * hw[1])))
+    return conv3x3_nchw(xp, w, interpret, "dwmf", out_dtype,
+                        prepadded=True, hw=hw)
+
+
+def _vjp_fwd_flat(x, w, hw, interpret, out_dtype):
+    # keep the PADDED flat tensor as the residual (the wgrad wants it;
+    # XLA CSEs with the forward's pad)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4 * hw[1], 4 * hw[1])))
+    y = conv3x3_nchw(xp, w, interpret, "dwmf", out_dtype,
+                     prepadded=True, hw=hw)
+    return y, (xp, w)
+
+
+def _vjp_bwd_flat(hw, interpret, out_dtype, res, g):
+    xp, w = res
+    g = g.astype(xp.dtype)
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv3x3_fast_flat(g, w_rot, hw, interpret)
+    dw = conv3x3_nchw_wgrad(xp, g, interpret, "dwnp1f",
+                            prepadded=True, hw=hw).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3_fast_flat.defvjp(_vjp_fwd_flat, _vjp_bwd_flat)
 
 
 def _fwd_kernel_stats(x_ref, w_ref, o_ref, s1_ref, s2_ref, *,

@@ -84,10 +84,14 @@ class ModelConfig:
         default_factory=lambda: os.environ.get("UAPS_CONV_VARIANT",
                                                "dwmf"))
     # out_conv (16->num_classes logits head) kernel, independent of
-    # conv_variant: taps|im2col|dhdw pallas variants, or "xla"
-    # (to_nhwc + XLA NHWC conv). A/B (PERF.md r2): taps 98.7, im2col
-    # 98.8, xla 112.7 ms/step — taps stays the default
-    head_variant: str = "taps"
+    # conv_variant: taps|im2col|dhdw|dwnp|dwm|dwmf pallas variants, or
+    # "xla" (to_nhwc + XLA NHWC conv). A/B history: taps 98.7, im2col
+    # 98.8, xla 112.7 ms/step (r2); r5b: dwmf with the Co-padded packed
+    # kernels (Cout 4 zero-padded to 8 so the dw partial slices stay
+    # sublane-aligned) measured 75.2 -> 72.9 ms/step — the default
+    head_variant: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("UAPS_HEAD_VARIANT",
+                                               "dwmf"))
     # multi-decoder models only: run the 1+n_aux out_conv heads as ONE
     # block-diagonal conv over the channel-concatenated final features
     # (VERDICT r3 #2 — each Cout=n_cls head wastes ~97% of MXU rows;

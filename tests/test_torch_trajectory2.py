@@ -73,6 +73,64 @@ def _print_table(j_loss, t_loss):
 
 
 # ---------------------------------------------------------------------------
+# baseline — baseline/baseline_train.py:158-176: fully-supervised
+# 0.5*(CE+Dice) + Adam on the plain UNet. Fully deterministic with
+# dropout off; completes 8/8 method-trajectory coverage.
+# ---------------------------------------------------------------------------
+
+def _baseline_cfg():
+    cfg = preset("neu", method="baseline")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
+                                   image_size=IMAGE)
+    cfg.model = dataclasses.replace(cfg.model, name="unet",
+                                    conv_backend="xla", nchw_levels=0)
+    return cfg
+
+
+@pytest.mark.slow
+def test_baseline_train_trajectory_matches_reference():
+    from uaps_tpu.methods import baseline as baseline_method
+    from uaps_tpu.models.unet import UNet
+    from utilities.baseline_unet import UNet as TorchUNet
+    from utilities.pytorch_losses import dice_loss
+
+    batches = _make_plain_batches(112)
+    cfg = _baseline_cfg()
+    model = UNet(num_classes=N_CLASSES, dropout=(0.0,) * 5,
+                 conv_backend="xla", nchw_levels=0)
+    tx = mbase.make_optimizer(cfg.optim)
+    state = mbase.init_model_state(cfg, model, jax.random.key(0), tx)
+    init_params, init_stats = _np_state(state)
+    step = jax.jit(baseline_method.make_train_step(cfg, model, tx))
+    j_loss = []
+    for b in batches:
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        state, m = step(state, batch)
+        j_loss.append(float(m["loss"]))
+    j_loss = np.array(j_loss)
+
+    tm = _load_ref(TorchUNet(3, N_CLASSES), init_params, init_stats)
+    ce = nn.CrossEntropyLoss()
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    t_loss = []
+    for b in batches:
+        x = torch.from_numpy(b["image"].transpose(0, 3, 1, 2))
+        y = torch.from_numpy(b["label"].astype(np.int64))
+        out = tm(x)                                       # :158
+        loss = 0.5 * (dice_loss(y.unsqueeze(1), out)
+                      + ce(out, y))                       # :161-164
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_loss.append(float(loss))
+    t_loss = np.array(t_loss)
+
+    _print_table(j_loss, t_loss)
+    np.testing.assert_allclose(j_loss, t_loss, rtol=0, atol=5e-3)
+    assert t_loss[-1] < t_loss[0] and j_loss[-1] < j_loss[0]
+
+
+# ---------------------------------------------------------------------------
 # UAMT — UA_MT_train.py:174-240. T=8 noised teacher passes feed a
 # predictive-entropy mask over the softmax-MSE consistency; EMA teacher
 # with alpha = min(1-1/(step+1), decay) after the optimizer step.

@@ -34,7 +34,9 @@ def measure(variant: str) -> float:
                    if "=" in f)
     # env-gated knobs (read at TRACE time, so per-leg setenv works):
     # flatblk=0/1 -> UAPS_FLAT_BLOCKS (ConvBlock flat island, r5)
+    # dwk=0 -> UAPS_DWK=0 (restore the 3-matmul dwmf; dwk default r5f)
     os.environ["UAPS_FLAT_BLOCKS"] = flag_kv.get("flatblk", "1")
+    os.environ["UAPS_DWK"] = flag_kv.get("dwk", "1")
     import uaps_tpu.models.unet as unet_mod
     import uaps_tpu.pallas.conv3x3_nchw as cmod
     if not hasattr(cmod, "_orig_pick_slab"):

@@ -385,6 +385,42 @@ class TestConv3x3Kernels:
         np.testing.assert_allclose(yf.reshape(y4.shape), y4,
                                    rtol=1e-5, atol=1e-5)
 
+    def test_dwk_matches_taps(self, rng, monkeypatch):
+        """UAPS_DWK=1 (dh-in-K one-matmul dwmf twin) must match taps for
+        the forward, the Co-padded head case, and the full flat VJP."""
+        from uaps_tpu.pallas.conv3x3_nchw import (conv3x3_fast_flat,
+                                                  conv3x3_nchw)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        w4 = jnp.asarray(rng.standard_normal((3, 3, 16, 4)) * 0.1,
+                         jnp.float32)
+        ref = np.asarray(conv3x3_nchw(x, w, True, "taps"))
+        ref4 = np.asarray(conv3x3_nchw(x, w4, True, "taps"))
+        xf = x.reshape(2, 16, 16 * 128)
+        vf_ref, (dxr, dwr) = jax.value_and_grad(
+            lambda xx, ww: jnp.sum(
+                conv3x3_fast_flat(xx, ww, (16, 128), True) ** 2),
+            (0, 1))(xf, w)
+        for env in ("1", "0"):   # dwk default AND the 3-matmul fallback
+            monkeypatch.setenv("UAPS_DWK", env)
+            np.testing.assert_allclose(
+                np.asarray(conv3x3_nchw(x, w, True, "dwmf")), ref,
+                rtol=1e-5, atol=1e-5, err_msg=f"dwk={env}")
+            np.testing.assert_allclose(
+                np.asarray(conv3x3_nchw(x, w4, True, "dwmf")), ref4,
+                rtol=1e-5, atol=1e-5, err_msg=f"dwk={env}")
+            vf, (dx, dw) = jax.value_and_grad(
+                lambda xx, ww: jnp.sum(
+                    conv3x3_fast_flat(xx, ww, (16, 128), True) ** 2),
+                (0, 1))(xf, w)
+            np.testing.assert_allclose(float(vf), float(vf_ref),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(dx), np.asarray(dxr),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(dw), np.asarray(dwr),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_packed_head_full_vjp_unaligned_cout(self, rng):
         """The full custom-VJP chain through a Co=4 dwmf head (fwd +
         dgrad with Cin=4 + padded packed wgrad) must match taps."""

@@ -188,6 +188,33 @@ def _fwd_kernel_dwmf(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
     o_ref[0] = comb.astype(o_ref.dtype)
 
 
+def _fwd_kernel_dwkf(x_ref, w_ref, o_ref, *, slab, width, cin, cout,
+                     co_out=None):
+    """dwmf with the dh taps ALSO packed — into matmul K: ONE
+    [3Co, 3C] x [3C, N] matmul per grid cell instead of dwmf's three
+    (K 16->48 streams the same total rows, but two matmul issues and
+    their pipeline fills disappear). X3 stacks the three ALIGNED lane
+    extracts on sublanes at offsets {0, C, 2C} (C is 8-multiple for
+    every island shape); w_ref is WK[dw*Co+co, dh*C+c]. Epilogue
+    exactly dwm's. r5 experiment (UAPS_DWK=1)."""
+    x = x_ref[0]
+    x3 = jnp.concatenate(
+        [x[:, (_HOFF + dh) * width:(_HOFF + dh) * width + slab * width]
+         for dh in range(3)], axis=0)                  # [3C, N]
+    p = jax.lax.dot_general(
+        w_ref[...], x3, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [3Co, N]
+    accs = [p[dw * cout:(dw + 1) * cout] for dw in range(3)]
+    n = jax.lax.broadcasted_iota(jnp.int32, (cout, slab * width), 1)
+    a0 = jnp.where(n % width == 0, 0.0, pltpu.roll(accs[0], 1, 1))
+    a2 = jnp.where(n % width == width - 1, 0.0,
+                   pltpu.roll(accs[2], slab * width - 1, 1))
+    comb = accs[1] + a0 + a2
+    if co_out is not None and co_out != cout:
+        comb = comb[:co_out]
+    o_ref[0] = comb.astype(o_ref.dtype)
+
+
 def _fwd_kernel_flat(x_ref, w_ref, o_ref, *, slab, width, cin, cout):
     """taps body with the FLAT [Co, slab*W] output block (no acc->3D
     write relayout); ablation point between taps and dwout."""
@@ -323,13 +350,25 @@ def conv3x3_nchw(x: jax.Array, w: jax.Array,
         xp = x if prepadded else jnp.pad(
             x, ((0, 0), (0, 0), (4, 4), (wpad, wpad)))
     if variant in ("dwm", "dwmf"):
-        # W3[dh][dw*Co8+co, c] = w[dh, dw, c, co] (co8 = Co + copad)
         co8 = cout + copad
         wsrc = (w if copad == 0 else
                 jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, copad))))
-        wp = wsrc.transpose(0, 1, 3, 2).reshape(3, 3 * co8, cin).astype(
-            x.dtype)
-        body = _fwd_kernel_dwmf if variant == "dwmf" else _fwd_kernel_dwm
+        if variant == "dwmf" and os.environ.get("UAPS_DWK", "1") == "1":
+            # dh-in-K (r5f DEFAULT): WK[dw*Co8+co, dh*C+c] = w[dh,dw,c,co]
+            # — one [3Co,3C]x[3C,N] matmul per grid cell instead of
+            # three K=C ones. Full-step A/B measured 63.5 -> 53.3
+            # ms/step: at K=16 the MXU pipeline fill dominates, so
+            # matmul COUNT is what costs (the r4b wgrad-anatomy lesson
+            # applied to the forward). UAPS_DWK=0 restores 3-matmul dwmf.
+            wp = wsrc.transpose(1, 3, 0, 2).reshape(
+                3 * co8, 3 * cin).astype(x.dtype)
+            body = _fwd_kernel_dwkf
+        else:
+            # W3[dh][dw*Co8+co, c] = w[dh, dw, c, co] (co8 = Co + copad)
+            wp = wsrc.transpose(0, 1, 3, 2).reshape(
+                3, 3 * co8, cin).astype(x.dtype)
+            body = (_fwd_kernel_dwmf if variant == "dwmf"
+                    else _fwd_kernel_dwm)
         kernel = functools.partial(body, slab=slab,
                                    width=width, cin=cin, cout=co8,
                                    co_out=cout)

@@ -3,10 +3,13 @@
 # minutes. All tiers run on CPU (tests/conftest.py forces an 8-device
 # virtual mesh); on-chip work lives in scripts/tpu_*.py (marker: tpu).
 #
-#   ./scripts/ci.sh fast    ~1 min    pure-function unit tests
-#   ./scripts/ci.sh unit    ~15 min   models/methods/pallas/eval/serve
-#   ./scripts/ci.sh slow    ~25 min   torch-parity, trajectories,
-#                                     multichip convergence, determinism
+#   ./scripts/ci.sh fast    ~1.5 min  pure-function unit tests
+#   ./scripts/ci.sh unit    ~60 min   models/methods/pallas/eval/serve,
+#                                     methods e2e + multichip convergence
+#                                     (r5 measured: models/pallas/knobs
+#                                     45 min, the rest ~15)
+#   ./scripts/ci.sh slow    ~6 min    torch-trajectory equivalence (all
+#                                     8 methods)
 #   ./scripts/ci.sh all               all three, in order
 set -euo pipefail
 cd "$(dirname "$0")/.."
